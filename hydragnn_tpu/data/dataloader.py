@@ -1,0 +1,154 @@
+"""Dataset splitting + padded batch loader.
+
+Replaces the reference's DistributedSampler + torch DataLoader layer
+(ref: hydragnn/preprocess/load_data.py:206-438). TPU-first: the loader emits
+fixed-shape ``GraphBatch``es — batch size is fixed, node/edge capacities are
+buckets computed from the dataset (one bucket by default → exactly one compile
+per step function).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hydragnn_tpu.graph import GraphBatch, GraphSample, collate, pad_sizes
+
+
+def split_dataset(
+    dataset: Sequence[GraphSample],
+    perc_train: float,
+    stratify_splitting: bool = False,
+    seed: int = 0,
+) -> Tuple[List[GraphSample], List[GraphSample], List[GraphSample]]:
+    """train/val/test split, (1-perc)/2 each for val/test
+    (ref: preprocess/load_data.py:329-377). ``stratify_splitting`` stratifies
+    by elemental composition (ref: compositional_data_splitting.py:19-156),
+    approximated by sorting on composition signature before round-robin."""
+    n = len(dataset)
+    idx = np.arange(n)
+    rng = np.random.RandomState(seed)
+    if stratify_splitting:
+        sig = []
+        for s in dataset:
+            vals, counts = np.unique(np.round(s.x[:, 0]).astype(int), return_counts=True)
+            sig.append(hash(tuple(zip(vals.tolist(), counts.tolist()))))
+        order = np.argsort(np.asarray(sig), kind="stable")
+        # round-robin assignment preserves composition balance across splits
+        idx = order
+    else:
+        rng.shuffle(idx)
+    perc_val = (1.0 - perc_train) / 2.0
+    n_train = int(round(n * perc_train))
+    n_val = int(round(n * perc_val))
+    if stratify_splitting:
+        # deal like cards: every k-th goes to val/test so each composition
+        # bucket contributes to all splits
+        assign = np.zeros(n, np.int8)
+        stride = max(int(round(1 / max(1 - perc_train, 1e-9))), 2)
+        val_turn = True
+        j = 0
+        for i in range(n):
+            if (i % stride) == stride - 1 and j < (n - n_train):
+                assign[idx[i]] = 1 if val_turn else 2
+                val_turn = not val_turn
+                j += 1
+        train_idx = idx[assign[idx] == 0]
+        val_idx = idx[assign[idx] == 1]
+        test_idx = idx[assign[idx] == 2]
+    else:
+        train_idx = idx[:n_train]
+        val_idx = idx[n_train : n_train + n_val]
+        test_idx = idx[n_train + n_val :]
+    ds = list(dataset)
+    return (
+        [ds[i] for i in train_idx],
+        [ds[i] for i in val_idx],
+        [ds[i] for i in test_idx],
+    )
+
+
+class GraphLoader:
+    """Iterates padded ``GraphBatch``es of fixed ``batch_size``.
+
+    Capacities (node/edge padding) are computed once over the dataset for the
+    worst-case batch, so every batch has identical shapes: one XLA compile.
+    The last partial batch is padded with empty graphs (masked out), unlike
+    torch's drop_last/variable-size batches.
+    """
+
+    def __init__(
+        self,
+        dataset: Sequence[GraphSample],
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        node_multiple: int = 64,
+        edge_multiple: int = 128,
+    ):
+        self.dataset = list(dataset)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+        sizes = sorted(
+            ((s.num_nodes, s.num_edges) for s in self.dataset), reverse=True
+        )
+        top = sizes[:batch_size]
+        worst_n = sum(t[0] for t in top)
+        worst_e = sum(max(t[1], 1) for t in top)
+        self.n_node_pad, self.n_edge_pad, self.n_graph_pad = pad_sizes(
+            worst_n, worst_e, batch_size, node_multiple, edge_multiple
+        )
+
+    def __len__(self) -> int:
+        return math.ceil(len(self.dataset) / self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        """ref: DistributedSampler.set_epoch (train_validate_test.py:158-160)."""
+        self._epoch = epoch
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            chunk = [self.dataset[j] for j in order[i : i + self.batch_size]]
+            yield collate(
+                chunk,
+                n_node_pad=self.n_node_pad,
+                n_edge_pad=self.n_edge_pad,
+                n_graph_pad=self.n_graph_pad,
+            )
+
+
+def create_dataloaders(
+    trainset: Sequence[GraphSample],
+    valset: Sequence[GraphSample],
+    testset: Sequence[GraphSample],
+    batch_size: int,
+    **kwargs,
+) -> Tuple[GraphLoader, GraphLoader, GraphLoader]:
+    """ref: preprocess/load_data.py:225-326 (train shuffles, val/test don't).
+
+    All three loaders share the worst-case capacities so train/eval steps
+    compile once each.
+    """
+    all_samples = list(trainset) + list(valset) + list(testset)
+    probe = GraphLoader(all_samples, batch_size)
+    common = dict(
+        node_multiple=kwargs.pop("node_multiple", 64),
+        edge_multiple=kwargs.pop("edge_multiple", 128),
+    )
+    train_loader = GraphLoader(trainset, batch_size, shuffle=True, **common, **kwargs)
+    val_loader = GraphLoader(valset, batch_size, **common, **kwargs)
+    test_loader = GraphLoader(testset, batch_size, **common, **kwargs)
+    for ld in (train_loader, val_loader, test_loader):
+        ld.n_node_pad = probe.n_node_pad
+        ld.n_edge_pad = probe.n_edge_pad
+        ld.n_graph_pad = probe.n_graph_pad
+    return train_loader, val_loader, test_loader

@@ -1,0 +1,147 @@
+"""Host-side neighbor search (preprocessing).
+
+Replaces PyG ``RadiusGraph`` (torch_cluster C++ radius search; ref:
+hydragnn/preprocess/graph_samples_checks_and_updates.py:109-138) and the
+ASE-based ``RadiusGraphPBC`` (ref: :141-343) with numpy cell-list searches.
+Runs on host CPU during data preparation — device code never builds graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def radius_graph(
+    pos: np.ndarray,
+    r: float,
+    max_num_neighbors: int = 32,
+    loop: bool = False,
+) -> np.ndarray:
+    """Edge index [2, E] with edges j->i for ||p_i - p_j|| <= r.
+
+    Matches torch_cluster.radius semantics: per *target* node i, at most
+    ``max_num_neighbors`` sources are kept (nearest first).
+    """
+    n = pos.shape[0]
+    if n == 0:
+        return np.zeros((2, 0), np.int64)
+    # cell list
+    cell = max(r, 1e-12)
+    keys = np.floor(pos / cell).astype(np.int64)
+    # brute force within candidate pairs from neighboring cells
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, k in enumerate(map(tuple, keys)):
+        buckets[k].append(i)
+
+    senders = []
+    receivers = []
+    offsets = np.array(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+    )
+    for i in range(n):
+        k = keys[i]
+        cand = []
+        for off in offsets:
+            cand.extend(buckets.get(tuple(k + off), ()))
+        cand = np.asarray(cand)
+        d = np.linalg.norm(pos[cand] - pos[i], axis=1)
+        ok = d <= r
+        if not loop:
+            ok &= cand != i
+        cand, d = cand[ok], d[ok]
+        if len(cand) > max_num_neighbors:
+            keep = np.argsort(d, kind="stable")[:max_num_neighbors]
+            cand = cand[keep]
+        senders.append(cand)
+        receivers.append(np.full(len(cand), i, np.int64))
+    if not senders:
+        return np.zeros((2, 0), np.int64)
+    return np.stack(
+        [np.concatenate(senders), np.concatenate(receivers)], axis=0
+    ).astype(np.int64)
+
+
+def radius_graph_pbc(
+    pos: np.ndarray,
+    cell: np.ndarray,
+    r: float,
+    max_num_neighbors: int = 32,
+    pbc: Tuple[bool, bool, bool] = (True, True, True),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Periodic radius graph.
+
+    Returns (edge_index [2, E], shifts [E, 3]) where the displacement of edge
+    (j -> i) is ``pos[i] - pos[j] - shifts @ cell`` ... i.e. ``shifts`` holds
+    integer lattice offsets applied to the source position. Mirrors ASE
+    ``neighbor_list("ijS", ...)`` as used in the reference (ref:
+    graph_samples_checks_and_updates.py:152-176; distances corrected by
+    ``edge_shifts`` at :346-377).
+    """
+    n = pos.shape[0]
+    cell = np.asarray(cell, np.float64).reshape(3, 3)
+    # bound on number of cell images needed per axis
+    inv = np.linalg.inv(cell.T)
+    heights = 1.0 / np.linalg.norm(inv, axis=0)
+    n_rep = [
+        int(np.ceil(r / heights[a])) if pbc[a] else 0 for a in range(3)
+    ]
+    shifts_list = []
+    senders = []
+    receivers = []
+    images = []
+    for sx in range(-n_rep[0], n_rep[0] + 1):
+        for sy in range(-n_rep[1], n_rep[1] + 1):
+            for sz in range(-n_rep[2], n_rep[2] + 1):
+                shift = np.array([sx, sy, sz], np.float64)
+                images.append(shift)
+    for shift in images:
+        disp = shift @ cell
+        # pairs (j source in image, i target in home cell)
+        d = np.linalg.norm(
+            pos[None, :, :] + disp[None, None, :] - pos[:, None, :], axis=-1
+        )  # d[i, j] = |p_j + disp - p_i|
+        ok = d <= r
+        if np.all(shift == 0):
+            np.fill_diagonal(ok, False)
+        ii, jj = np.nonzero(ok)
+        senders.append(jj)
+        receivers.append(ii)
+        shifts_list.append(np.tile(shift, (len(ii), 1)))
+    senders = np.concatenate(senders)
+    receivers = np.concatenate(receivers)
+    shifts = np.concatenate(shifts_list, axis=0)
+
+    # per-target degree cap, nearest first (ref: cutoff-growth + degree cap)
+    disp_vec = pos[senders] + shifts @ cell - pos[receivers]
+    dist = np.linalg.norm(disp_vec, axis=1)
+    order = np.lexsort((dist, receivers))
+    senders, receivers, shifts, dist = (
+        senders[order], receivers[order], shifts[order], dist[order]
+    )
+    keep = np.ones(len(senders), bool)
+    start = 0
+    for i in range(len(senders)):
+        if i + 1 == len(senders) or receivers[i + 1] != receivers[i]:
+            if i + 1 - start > max_num_neighbors:
+                keep[start + max_num_neighbors : i + 1] = False
+            start = i + 1
+    edge_index = np.stack([senders[keep], receivers[keep]], axis=0).astype(np.int64)
+    # sign convention matches the reference: vec = pos[recv] - pos[send] + shift
+    # (ref: hydragnn/utils/model/operations.py:21-36)
+    return edge_index, (-(shifts[keep] @ cell)).astype(np.float32)
+
+
+def edge_lengths(
+    pos: np.ndarray, edge_index: np.ndarray, shifts: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """|pos[recv] - pos[send] + shift| (ref: PBCDistance, graph_samples:346-377;
+    operations.py:21-36)."""
+    src, dst = edge_index
+    vec = pos[dst] - pos[src]
+    if shifts is not None:
+        vec = vec + shifts
+    return np.linalg.norm(vec, axis=1)

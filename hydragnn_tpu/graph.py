@@ -1,0 +1,262 @@
+"""Static-shape graph containers for TPU.
+
+The reference (HydraGNN) uses PyG ``Data``/``Batch`` with fully dynamic shapes
+(ref: hydragnn/preprocess/load_data.py:225, torch_geometric collate). XLA wants
+static shapes, so batches here are padded to bucketed sizes:
+
+  - nodes padded to ``n_node_pad`` (>= real nodes + 1; the last node slot is a
+    reserved dummy that padding edges point at),
+  - edges padded to ``e_edge_pad``,
+  - graphs padded to ``n_graph_pad`` (>= real graphs + 1; padding nodes belong
+    to the reserved trailing padding graph).
+
+All ops are masked; segment reductions over ``node_graph_idx``/``receivers``
+stay inside real slots because padding elements target reserved padding slots
+AND carry zeroed mask weights (defence in depth).
+
+Targets are pre-gathered on the host at collate time into per-head dense
+arrays (``graph_y`` [G, sum(graph-head dims)], ``node_y`` [N, sum(node-head
+dims)]) — the TPU-first redesign of the reference's dynamic ``y_loc``/
+``get_head_indices`` bookkeeping (ref: hydragnn/train/train_validate_test.py:316-379).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass
+class GraphSample:
+    """One graph, host-side (numpy). Analogue of PyG ``Data``.
+
+    ``x``: [n, F] node features; ``pos``: [n, 3]; ``edge_index``: [2, e]
+    (row 0 = senders/source, row 1 = receivers/target, messages flow
+    src -> dst as in PyG flow='source_to_target').
+    """
+
+    x: np.ndarray
+    pos: np.ndarray
+    edge_index: np.ndarray
+    edge_attr: Optional[np.ndarray] = None
+    edge_shifts: Optional[np.ndarray] = None  # [e,3] PBC shift vectors
+    y_graph: Optional[np.ndarray] = None  # concatenated graph-level targets [Dg]
+    y_node: Optional[np.ndarray] = None  # concatenated node-level targets [n, Dn]
+    energy: Optional[np.ndarray] = None  # scalar
+    forces: Optional[np.ndarray] = None  # [n, 3]
+    pe: Optional[np.ndarray] = None  # [n, pe_dim] Laplacian eigvec PE
+    rel_pe: Optional[np.ndarray] = None  # [e, pe_dim] relative edge PE
+    dataset_id: int = 0
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.x.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_index.shape[1])
+
+
+@struct.dataclass
+class GraphBatch:
+    """Padded, static-shape device batch (pytree). Analogue of PyG ``Batch``."""
+
+    x: jnp.ndarray  # [N, F] float
+    pos: jnp.ndarray  # [N, 3] float
+    senders: jnp.ndarray  # [E] int32 (edge_index[0])
+    receivers: jnp.ndarray  # [E] int32 (edge_index[1])
+    node_graph_idx: jnp.ndarray  # [N] int32 (PyG `batch` vector)
+    node_mask: jnp.ndarray  # [N] bool
+    edge_mask: jnp.ndarray  # [E] bool
+    graph_mask: jnp.ndarray  # [G] bool
+    n_node: jnp.ndarray  # [G] int32 nodes per graph
+    dataset_id: jnp.ndarray  # [G] int32 (multi-dataset branch id)
+    edge_shifts: jnp.ndarray  # [E, 3]
+    edge_attr: Optional[jnp.ndarray] = None  # [E, De]
+    graph_y: Optional[jnp.ndarray] = None  # [G, Dg]
+    node_y: Optional[jnp.ndarray] = None  # [N, Dn]
+    energy: Optional[jnp.ndarray] = None  # [G]
+    forces: Optional[jnp.ndarray] = None  # [N, 3]
+    pe: Optional[jnp.ndarray] = None  # [N, pe_dim]
+    rel_pe: Optional[jnp.ndarray] = None  # [E, pe_dim]
+    # permutation sorting edges by sender — lets the backward scatter of
+    # gather ops reuse the sorted-CSR Pallas kernel (ops/pallas_segment.py)
+    edge_perm_by_sender: Optional[jnp.ndarray] = None  # [E] int32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+def _round_up(v: int, multiple: int) -> int:
+    return ((v + multiple - 1) // multiple) * multiple
+
+
+def pad_sizes(
+    n_node: int,
+    n_edge: int,
+    n_graph: int,
+    node_multiple: int = 64,
+    edge_multiple: int = 128,
+) -> Tuple[int, int, int]:
+    """Bucketed padded sizes (bounded recompile count under jit).
+
+    Reserves >=1 dummy node and >=1 dummy graph slot (jraph-style convention).
+    Multiples align the leading (sublane) dim to TPU-friendly tiles.
+    """
+    return (
+        _round_up(n_node + 1, node_multiple),
+        max(_round_up(n_edge, edge_multiple), edge_multiple),
+        n_graph + 1,
+    )
+
+
+def collate(
+    samples: Sequence[GraphSample],
+    n_node_pad: Optional[int] = None,
+    n_edge_pad: Optional[int] = None,
+    n_graph_pad: Optional[int] = None,
+    node_multiple: int = 64,
+    edge_multiple: int = 128,
+    sort_edges_by_receiver: bool = True,
+) -> GraphBatch:
+    """Concatenate + pad host samples into one static-shape ``GraphBatch``.
+
+    Edges are (optionally, default on) sorted by receiver so segment
+    aggregations can use ``indices_are_sorted=True`` and the Pallas kernel can
+    walk contiguous CSR rows.
+    """
+    G = len(samples)
+    tot_n = sum(s.num_nodes for s in samples)
+    tot_e = sum(s.num_edges for s in samples)
+    auto_n, auto_e, auto_g = pad_sizes(tot_n, tot_e, G, node_multiple, edge_multiple)
+    N = n_node_pad or auto_n
+    E = n_edge_pad or auto_e
+    Gp = n_graph_pad or auto_g
+    if N < tot_n + 1 or E < tot_e or Gp < G + 1:
+        raise ValueError(
+            f"padded sizes ({N},{E},{Gp}) too small for batch ({tot_n},{tot_e},{G})"
+        )
+
+    F = samples[0].x.shape[1] if samples[0].x.ndim == 2 else 1
+    x = np.zeros((N, F), np.float32)
+    pos = np.zeros((N, 3), np.float32)
+    senders = np.full((E,), N - 1, np.int32)
+    receivers = np.full((E,), N - 1, np.int32)
+    node_graph_idx = np.full((N,), Gp - 1, np.int32)
+    node_mask = np.zeros((N,), bool)
+    edge_mask = np.zeros((E,), bool)
+    graph_mask = np.zeros((Gp,), bool)
+    n_node = np.zeros((Gp,), np.int32)
+    dataset_id = np.zeros((Gp,), np.int32)
+    edge_shifts = np.zeros((E, 3), np.float32)
+
+    has = lambda attr: getattr(samples[0], attr) is not None
+    edge_attr = (
+        np.zeros((E, np.atleast_2d(samples[0].edge_attr).shape[-1]), np.float32)
+        if has("edge_attr")
+        else None
+    )
+    graph_y = (
+        np.zeros((Gp, np.atleast_1d(samples[0].y_graph).shape[-1]), np.float32)
+        if has("y_graph")
+        else None
+    )
+    node_y = (
+        np.zeros((N, np.atleast_2d(samples[0].y_node).shape[-1]), np.float32)
+        if has("y_node")
+        else None
+    )
+    energy = np.zeros((Gp,), np.float32) if has("energy") else None
+    forces = np.zeros((N, 3), np.float32) if has("forces") else None
+    pe = (
+        np.zeros((N, np.atleast_2d(samples[0].pe).shape[-1]), np.float32)
+        if has("pe")
+        else None
+    )
+    rel_pe = (
+        np.zeros((E, np.atleast_2d(samples[0].rel_pe).shape[-1]), np.float32)
+        if has("rel_pe")
+        else None
+    )
+
+    n_off = 0
+    e_off = 0
+    for g, s in enumerate(samples):
+        n, e = s.num_nodes, s.num_edges
+        x[n_off : n_off + n] = np.atleast_2d(s.x.reshape(n, -1))
+        pos[n_off : n_off + n] = s.pos
+        senders[e_off : e_off + e] = s.edge_index[0] + n_off
+        receivers[e_off : e_off + e] = s.edge_index[1] + n_off
+        node_graph_idx[n_off : n_off + n] = g
+        node_mask[n_off : n_off + n] = True
+        edge_mask[e_off : e_off + e] = True
+        graph_mask[g] = True
+        n_node[g] = n
+        dataset_id[g] = s.dataset_id
+        if s.edge_shifts is not None:
+            edge_shifts[e_off : e_off + e] = s.edge_shifts
+        if edge_attr is not None:
+            edge_attr[e_off : e_off + e] = np.atleast_2d(s.edge_attr.reshape(e, -1))
+        if graph_y is not None:
+            graph_y[g] = np.atleast_1d(s.y_graph).ravel()
+        if node_y is not None:
+            node_y[n_off : n_off + n] = np.atleast_2d(s.y_node.reshape(n, -1))
+        if energy is not None:
+            energy[g] = float(np.asarray(s.energy).ravel()[0])
+        if forces is not None:
+            forces[n_off : n_off + n] = s.forces
+        if pe is not None:
+            pe[n_off : n_off + n] = np.atleast_2d(s.pe.reshape(n, -1))
+        if rel_pe is not None:
+            rel_pe[e_off : e_off + e] = np.atleast_2d(s.rel_pe.reshape(e, -1))
+        n_off += n
+        e_off += e
+
+    if sort_edges_by_receiver and tot_e > 0:
+        order = np.argsort(receivers, kind="stable")
+        senders = senders[order]
+        receivers = receivers[order]
+        edge_mask = edge_mask[order]
+        edge_shifts = edge_shifts[order]
+        if edge_attr is not None:
+            edge_attr = edge_attr[order]
+        if rel_pe is not None:
+            rel_pe = rel_pe[order]
+
+    perm_by_sender = np.argsort(senders, kind="stable").astype(np.int32)
+
+    return GraphBatch(
+        x=jnp.asarray(x),
+        pos=jnp.asarray(pos),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        node_graph_idx=jnp.asarray(node_graph_idx),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        n_node=jnp.asarray(n_node),
+        dataset_id=jnp.asarray(dataset_id),
+        edge_shifts=jnp.asarray(edge_shifts),
+        edge_attr=None if edge_attr is None else jnp.asarray(edge_attr),
+        graph_y=None if graph_y is None else jnp.asarray(graph_y),
+        node_y=None if node_y is None else jnp.asarray(node_y),
+        energy=None if energy is None else jnp.asarray(energy),
+        forces=None if forces is None else jnp.asarray(forces),
+        pe=None if pe is None else jnp.asarray(pe),
+        rel_pe=None if rel_pe is None else jnp.asarray(rel_pe),
+        edge_perm_by_sender=jnp.asarray(perm_by_sender),
+    )

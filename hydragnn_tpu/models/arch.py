@@ -1,0 +1,165 @@
+"""Frozen, hashable architecture config (static under jit).
+
+Flattened view of the reference's ``config["NeuralNetwork"]["Architecture"]``
+as consumed by ``create_model`` (ref: hydragnn/models/create.py:86-128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BranchConfig:
+    """One output-head branch (ref: Base._multihead, models/Base.py:342-440)."""
+
+    type: str  # "branch-<i>"
+    num_sharedlayers: int = 0
+    dim_sharedlayers: int = 0
+    num_headlayers: int = 1
+    dim_headlayers: Tuple[int, ...] = ()
+    head_nn_type: str = "mlp"  # node heads: mlp | mlp_per_node | conv
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchConfig:
+    mpnn_type: str
+    input_dim: int
+    hidden_dim: int
+    output_dim: Tuple[int, ...]
+    output_type: Tuple[str, ...]
+    graph_branches: Tuple[BranchConfig, ...]
+    node_branches: Tuple[BranchConfig, ...]
+    activation: str = "relu"
+    loss_function_type: str = "mse"
+    task_weights: Tuple[float, ...] = (1.0,)
+    num_conv_layers: int = 2
+    pe_dim: int = 0
+    global_attn_engine: Optional[str] = None
+    global_attn_type: Optional[str] = None
+    global_attn_heads: int = 0
+    equivariance: bool = False
+    num_nodes: Optional[int] = None
+    max_neighbours: Optional[int] = None
+    edge_dim: Optional[int] = None
+    pna_deg: Optional[Tuple[int, ...]] = None
+    num_before_skip: Optional[int] = None
+    num_after_skip: Optional[int] = None
+    num_radial: Optional[int] = None
+    radial_type: Optional[str] = None
+    distance_transform: Optional[str] = None
+    basis_emb_size: Optional[int] = None
+    int_emb_size: Optional[int] = None
+    out_emb_size: Optional[int] = None
+    envelope_exponent: Optional[int] = None
+    num_spherical: Optional[int] = None
+    num_gaussians: Optional[int] = None
+    num_filters: Optional[int] = None
+    radius: Optional[float] = None
+    correlation: Optional[Tuple[int, ...]] = None
+    max_ell: Optional[int] = None
+    node_max_ell: Optional[int] = None
+    avg_num_neighbors: Optional[float] = None
+    freeze_conv: bool = False
+    initial_bias: Optional[float] = None
+    dropout: float = 0.25
+    conv_checkpointing: bool = False
+
+    @property
+    def num_heads(self) -> int:
+        return len(self.output_dim)
+
+    @property
+    def var_output(self) -> int:
+        return 1 if self.loss_function_type == "GaussianNLLLoss" else 0
+
+    @property
+    def use_global_attn(self) -> bool:
+        return bool(self.global_attn_engine)
+
+    @property
+    def num_branches(self) -> int:
+        return max(len(self.graph_branches), 1)
+
+    @property
+    def graph_out_dim(self) -> int:
+        """Total width of batch.graph_y."""
+        return sum(
+            d for d, t in zip(self.output_dim, self.output_type) if t == "graph"
+        )
+
+    @property
+    def node_out_dim(self) -> int:
+        return sum(d for d, t in zip(self.output_dim, self.output_type) if t == "node")
+
+
+def _branches(head_cfg_list, is_node: bool) -> Tuple[BranchConfig, ...]:
+    out = []
+    for branchdict in head_cfg_list:
+        a = branchdict["architecture"]
+        out.append(
+            BranchConfig(
+                type=branchdict["type"],
+                num_sharedlayers=int(a.get("num_sharedlayers", 0)),
+                dim_sharedlayers=int(a.get("dim_sharedlayers", 0)),
+                num_headlayers=int(a.get("num_headlayers", 1)),
+                dim_headlayers=tuple(a.get("dim_headlayers", ())),
+                head_nn_type=a.get("type", "mlp") if is_node else "mlp",
+            )
+        )
+    return tuple(out)
+
+
+def arch_config_from_dict(nn_config: Dict[str, Any]) -> ArchConfig:
+    """Build from config["NeuralNetwork"] after ``update_config``."""
+    arch = nn_config["Architecture"]
+    training = nn_config["Training"]
+    heads = arch["output_heads"]
+    corr = arch.get("correlation")
+    if isinstance(corr, int):
+        corr = (corr,)
+    elif corr is not None:
+        corr = tuple(corr)
+    return ArchConfig(
+        mpnn_type=arch["mpnn_type"],
+        input_dim=int(arch["input_dim"]),
+        hidden_dim=int(arch["hidden_dim"]),
+        output_dim=tuple(int(d) for d in arch["output_dim"]),
+        output_type=tuple(arch["output_type"]),
+        graph_branches=_branches(heads.get("graph", []), is_node=False),
+        node_branches=_branches(heads.get("node", []), is_node=True),
+        activation=arch.get("activation_function", "relu"),
+        loss_function_type=training.get("loss_function_type", "mse"),
+        task_weights=tuple(float(w) for w in arch.get("task_weights", [1.0])),
+        num_conv_layers=int(arch["num_conv_layers"]),
+        pe_dim=int(arch.get("pe_dim") or 0),
+        global_attn_engine=arch.get("global_attn_engine") or None,
+        global_attn_type=arch.get("global_attn_type") or None,
+        global_attn_heads=int(arch.get("global_attn_heads") or 0),
+        equivariance=bool(arch.get("equivariance", False)),
+        num_nodes=arch.get("num_nodes"),
+        max_neighbours=arch.get("max_neighbours"),
+        edge_dim=arch.get("edge_dim"),
+        pna_deg=None if arch.get("pna_deg") is None else tuple(arch["pna_deg"]),
+        num_before_skip=arch.get("num_before_skip"),
+        num_after_skip=arch.get("num_after_skip"),
+        num_radial=arch.get("num_radial"),
+        radial_type=arch.get("radial_type"),
+        distance_transform=arch.get("distance_transform"),
+        basis_emb_size=arch.get("basis_emb_size"),
+        int_emb_size=arch.get("int_emb_size"),
+        out_emb_size=arch.get("out_emb_size"),
+        envelope_exponent=arch.get("envelope_exponent"),
+        num_spherical=arch.get("num_spherical"),
+        num_gaussians=arch.get("num_gaussians"),
+        num_filters=arch.get("num_filters"),
+        radius=arch.get("radius"),
+        correlation=corr,
+        max_ell=arch.get("max_ell"),
+        node_max_ell=arch.get("node_max_ell"),
+        avg_num_neighbors=arch.get("avg_num_neighbors"),
+        freeze_conv=bool(arch.get("freeze_conv_layers", False)),
+        initial_bias=arch.get("initial_bias"),
+        conv_checkpointing=bool(training.get("conv_checkpointing", False)),
+    )

@@ -1,0 +1,98 @@
+"""EGNN stack (ref: hydragnn/models/EGCLStack.py:20-298).
+
+E(n)-GNN layer (E_GCL): edge MLP on [x_src, x_dst, |r|, edge_attr], messages
+summed per SOURCE node (ref: E_GCL.node_model aggregates over row =
+edge_index[0]), node MLP on [x, agg]; optional equivariant coordinate update
+pos += mean_src(diff_hat * tanh(coord_mlp(m))) skipped in the last layer.
+Feature layers are Identity (ref: EGCLStack.py:54).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hydragnn_tpu.graph import GraphBatch
+from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
+from hydragnn_tpu.ops.segment import segment_sum, segment_mean
+
+
+class E_GCL(nn.Module):
+    in_dim: int
+    out_dim: int
+    hidden_dim: int
+    edge_dim: int = 0
+    equivariant: bool = False
+    tanh: bool = True
+
+    @nn.compact
+    def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        s, r = batch.senders, batch.receivers
+        N = inv.shape[0]
+        diff_hat, radial = get_edge_vectors_and_lengths(
+            equiv, s, r, normalize=True, eps=1.0
+        )
+        parts = [inv[s], inv[r], radial]
+        e_attr = ctx.get("edge_attr")
+        if self.edge_dim and e_attr is not None:
+            parts.append(e_attr)
+        m = jnp.concatenate(parts, axis=-1)
+        m = jax.nn.relu(nn.Dense(self.hidden_dim, name="edge_mlp_0")(m))
+        m = jax.nn.relu(nn.Dense(self.hidden_dim, name="edge_mlp_1")(m))
+        m = m * batch.edge_mask[:, None].astype(m.dtype)
+
+        if self.equivariant:
+            hw = jax.nn.relu(nn.Dense(self.hidden_dim, name="coord_mlp_0")(m))
+            coef = nn.Dense(
+                1, use_bias=False, name="coord_mlp_1",
+                kernel_init=nn.initializers.variance_scaling(
+                    0.001 ** 2, "fan_avg", "uniform"
+                ),
+            )(hw)
+            if self.tanh:
+                coef = jnp.tanh(coef)
+            trans = jnp.clip(diff_hat * coef, -100.0, 100.0)
+            agg = segment_mean(
+                trans, s, N, mask=batch.edge_mask, indices_are_sorted=False
+            )
+            equiv = equiv + agg
+
+        # aggregate messages into SOURCE nodes (ref: E_GCL.node_model row-aggr)
+        agg = segment_sum(m, s, N, indices_are_sorted=False)
+        h = jnp.concatenate([inv, agg], axis=-1)
+        h = jax.nn.relu(nn.Dense(self.hidden_dim, name="node_mlp_0")(h))
+        h = nn.Dense(self.out_dim, name="node_mlp_1")(h)
+        return h, equiv
+
+
+class EGCLStack(HydraBase):
+    is_edge_model: bool = True
+
+    def get_conv(self, input_dim, output_dim, edge_dim=None, last_layer=False,
+                 name=None):
+        return E_GCL(
+            input_dim,
+            output_dim,
+            hidden_dim=self.cfg.hidden_dim,
+            edge_dim=edge_dim or 0,
+            equivariant=self.cfg.equivariance and not last_layer,
+            name=name,
+        )
+
+    def _conv_plan(self):
+        cfg = self.cfg
+        plan = []
+        for i in range(cfg.num_conv_layers):
+            in_dim = self.embed_dim if i == 0 else cfg.hidden_dim
+            plan.append(
+                (in_dim, cfg.hidden_dim,
+                 {"last_layer": i == cfg.num_conv_layers - 1})
+            )
+        return plan
+
+    def _make_feature_layer(self, i):
+        return None  # Identity (ref: EGCLStack.py:54)

@@ -1,0 +1,98 @@
+"""PNA stack (ref: hydragnn/models/PNAStack.py:19-70).
+
+PNAConv semantics (PyG, towers=1, divide_input=False, pre/post_layers=1):
+  message  : h_ij = pre_nn([x_i, x_j (, edge_enc(e_ij))])
+  aggregate: [mean, min, max, std] x scalers [identity, amplification,
+             attenuation, linear] using the training-set degree histogram
+  update   : lin(post_nn([x_i, aggregated]))
+Aggregations are masked segment reductions; scalers use per-node in-degree
+clamped to >= 1 (PyG DegreeScalerAggregation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hydragnn_tpu.graph import GraphBatch
+from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.ops.segment import (
+    degree,
+    segment_max,
+    segment_mean,
+    segment_min,
+    segment_std,
+)
+
+
+def deg_stats(deg_hist: Tuple[int, ...]) -> Tuple[float, float]:
+    """avg_deg (lin, log) from the degree histogram (PyG PNAConv.__init__).
+    Pure numpy: static w.r.t. jit tracing."""
+    hist = np.asarray(deg_hist, np.float64)
+    n = max(hist.sum(), 1.0)
+    d = np.arange(len(deg_hist), dtype=np.float64)
+    avg_lin = float((d * hist).sum() / n)
+    avg_log = float((np.log(d + 1.0) * hist).sum() / n)
+    return avg_lin, avg_log
+
+
+class PNAConv(nn.Module):
+    in_dim: int
+    out_dim: int
+    deg_hist: Tuple[int, ...]
+    edge_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        N = inv.shape[0]
+        F_in = self.in_dim
+        parts = [inv[batch.receivers], inv[batch.senders]]
+        if self.edge_dim:
+            e = ctx.get("edge_attr")
+            assert e is not None, "PNA with edge_dim requires edge_attr"
+            parts.append(nn.Dense(F_in, name="edge_encoder")(e))
+        h = jnp.concatenate(parts, axis=-1)
+        h = nn.Dense(F_in, name="pre_nn")(h)  # pre_layers=1
+
+        m = batch.edge_mask
+        r = batch.receivers
+        aggs = [
+            segment_mean(h, r, N, mask=m),
+            segment_min(h, r, N, mask=m),
+            segment_max(h, r, N, mask=m),
+            segment_std(h, r, N, mask=m),
+        ]
+        out = jnp.concatenate(aggs, axis=-1)
+
+        avg_lin, avg_log = deg_stats(self.deg_hist)
+        d = jnp.maximum(degree(r, N, mask=m), 1.0)[:, None]
+        logd = jnp.log(d + 1.0)
+        scaled = [
+            out,
+            out * (logd / avg_log),
+            out * (avg_log / logd),
+            out * (d / avg_lin),
+        ]
+        out = jnp.concatenate(scaled, axis=-1)
+
+        out = jnp.concatenate([inv, out], axis=-1)
+        out = nn.Dense(self.out_dim, name="post_nn")(out)  # post_layers=1
+        out = nn.Dense(self.out_dim, name="lin")(out)
+        return out, equiv
+
+
+class PNAStack(HydraBase):
+    is_edge_model: bool = True
+
+    def get_conv(self, input_dim, output_dim, edge_dim=None, last_layer=False,
+                 name=None):
+        return PNAConv(
+            input_dim, output_dim, deg_hist=self.cfg.pna_deg, edge_dim=edge_dim,
+            name=name,
+        )

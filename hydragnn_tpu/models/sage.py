@@ -1,0 +1,37 @@
+"""GraphSAGE stack (ref: hydragnn/models/SAGEStack.py:21-47).
+
+SAGEConv semantics (PyG defaults): out = lin_l(mean_{j} x_j) + lin_r(x_i),
+lin_l with bias, lin_r without.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from hydragnn_tpu.graph import GraphBatch
+from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.ops.segment import segment_mean
+
+
+class SAGEConv(nn.Module):
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        msg = inv[batch.senders]
+        agg = segment_mean(
+            msg, batch.receivers, inv.shape[0], mask=batch.edge_mask
+        )
+        h = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(
+            self.out_dim, use_bias=False, name="lin_r"
+        )(inv)
+        return h, equiv
+
+
+class SAGEStack(HydraBase):
+    is_edge_model: bool = False
+
+    def get_conv(self, input_dim, output_dim, edge_dim=None, last_layer=False,
+                 name=None):
+        return SAGEConv(input_dim, output_dim, name=name)

@@ -1,0 +1,115 @@
+"""SchNet stack (ref: hydragnn/models/SCFStack.py:34-293).
+
+CFConv: W_ij = mlp(gaussian_rbf(d_ij) [, edge_attr]) * cosine_cutoff(d_ij);
+out_i = lin2( sum_j lin1(x_j) * W_ij ). Optional equivariant coordinate
+updates (not in the last layer): pos += mean_j clamp(diff_hat * coord_mlp(W)).
+Feature layers are Identity (no BatchNorm; ref: SCFStack.py:74).
+
+TPU note: the reference rebuilds the radius graph per layer
+(RadiusInteractionGraph) because positions move under the equivariant option;
+static shapes forbid dynamic edge counts, so the preprocessing neighbor list
+(slightly dilated radius recommended) is kept fixed and only distances/filters
+are recomputed from the *current* positions each layer — identical numerics
+whenever the topology is unchanged (always true without equivariance).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hydragnn_tpu.graph import GraphBatch
+from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.models.layers import activation_function_selection
+from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
+from hydragnn_tpu.ops.radial import gaussian_smearing, shifted_softplus
+from hydragnn_tpu.ops.segment import segment_sum, segment_mean
+
+
+class CFConv(nn.Module):
+    in_dim: int
+    out_dim: int
+    num_filters: int
+    num_gaussians: int
+    cutoff: float
+    edge_dim: Optional[int] = None
+    equivariant: bool = False
+
+    @nn.compact
+    def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        s, r = batch.senders, batch.receivers
+        N = inv.shape[0]
+        # distances from current positions (zero shifts; pbc shifts are not
+        # supported in positional-update models, ref: SCFStack.py:170-173)
+        diff_hat, lengths = get_edge_vectors_and_lengths(
+            equiv, s, r, normalize=True, eps=1.0
+        )
+        d = lengths[:, 0]
+        rbf = gaussian_smearing(d, 0.0, self.cutoff, self.num_gaussians)
+        e_attr = ctx.get("edge_attr")
+        if self.edge_dim and e_attr is not None:
+            rbf = jnp.concatenate([rbf, e_attr], axis=-1)
+        C = 0.5 * (jnp.cos(d * math.pi / self.cutoff) + 1.0)
+        h = nn.Dense(self.num_filters, name="mlp_0")(rbf)
+        h = shifted_softplus(h)
+        W = nn.Dense(self.num_filters, name="mlp_1")(h) * C[:, None]
+
+        x = nn.Dense(self.num_filters, use_bias=False, name="lin1")(inv)
+
+        if self.equivariant:
+            hw = nn.Dense(self.num_filters, name="coord_mlp_0")(W)
+            hw = jax.nn.relu(hw)
+            coef = nn.Dense(
+                1, use_bias=False, name="coord_mlp_1",
+                kernel_init=nn.initializers.variance_scaling(
+                    0.001 ** 2, "fan_avg", "uniform"
+                ),
+            )(hw)
+            trans = jnp.clip(diff_hat * coef, -100.0, 100.0)
+            # aggregated into SENDERS (ref: CFConv.coord_model row-aggr)
+            agg = segment_mean(trans, s, N, mask=batch.edge_mask,
+                               indices_are_sorted=False)
+            equiv = equiv + agg
+
+        msg = x[s] * W
+        msg = msg * batch.edge_mask[:, None].astype(msg.dtype)
+        out = segment_sum(msg, r, N)
+        out = nn.Dense(self.out_dim, name="lin2")(out)
+        return out, equiv
+
+
+class SCFStack(HydraBase):
+    is_edge_model: bool = True
+
+    def get_conv(self, input_dim, output_dim, edge_dim=None, last_layer=False,
+                 name=None):
+        return CFConv(
+            input_dim,
+            output_dim,
+            num_filters=self.cfg.num_filters,
+            num_gaussians=self.cfg.num_gaussians,
+            cutoff=self.cfg.radius,
+            edge_dim=edge_dim,
+            equivariant=self.cfg.equivariance and not last_layer,
+            name=name,
+        )
+
+    def _conv_plan(self):
+        """equivariance skips the coordinate path in the last layer
+        (ref: SCFStack._init_conv:57-87)."""
+        cfg = self.cfg
+        plan = []
+        for i in range(cfg.num_conv_layers):
+            in_dim = self.embed_dim if i == 0 else cfg.hidden_dim
+            plan.append(
+                (in_dim, cfg.hidden_dim,
+                 {"last_layer": i == cfg.num_conv_layers - 1})
+            )
+        return plan
+
+    def _make_feature_layer(self, i):
+        return None  # Identity (ref: SCFStack.py:74)

@@ -1,0 +1,165 @@
+"""Segment (scatter/aggregate) ops — THE hot path of message passing.
+
+TPU-native replacement for torch_scatter / PyG ``MessagePassing`` C++ kernels
+(ref: hydragnn/models/Base.py:18,599; every *Stack.py conv). Built on XLA
+``jax.ops.segment_sum`` (which lowers to sorted-scatter on TPU) with
+``indices_are_sorted=True`` fast path (collate sorts edges by receiver).
+The Pallas CSR kernel in ``hydragnn_tpu.ops.pallas_segment`` overrides the
+dense-feature segment-sum where profitable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def degree(
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    w = jnp.ones(segment_ids.shape, jnp.float32)
+    if mask is not None:
+        w = w * mask.astype(jnp.float32)
+    return jax.ops.segment_sum(
+        w, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    if mask is not None:
+        data = data * mask.astype(data.dtype).reshape((-1,) + (1,) * (data.ndim - 1))
+    s = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
+    cnt = degree(segment_ids, num_segments, mask, indices_are_sorted)
+    cnt = jnp.maximum(cnt, 1.0).reshape((-1,) + (1,) * (data.ndim - 1))
+    return s / cnt.astype(s.dtype)
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    """Max over segment; empty/masked-out segments yield 0 (PyG convention
+    fills with 0 after aggr when no messages: matches scatter 'max' w/ zero init
+    in torch_scatter for ReLU'd inputs; we clamp identity to a large negative
+    then zero empty segments)."""
+    neg = jnp.asarray(jnp.finfo(data.dtype).min, data.dtype)
+    if mask is not None:
+        data = jnp.where(
+            mask.reshape((-1,) + (1,) * (data.ndim - 1)), data, neg
+        )
+    out = jax.ops.segment_max(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    cnt = degree(segment_ids, num_segments, mask, indices_are_sorted)
+    has = (cnt > 0).reshape((-1,) + (1,) * (data.ndim - 1))
+    return jnp.where(has, out, 0.0).astype(data.dtype)
+
+
+def segment_min(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    return -segment_max(-data, segment_ids, num_segments, mask, indices_are_sorted)
+
+
+def segment_std(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = True,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Relaxed std as in PyG PNA ('std' scaler): sqrt(relu(E[x^2]-E[x]^2)+eps)
+    (ref: torch_geometric.nn.aggr.multi StdAggregation used by PNAConv)."""
+    mean = segment_mean(data, segment_ids, num_segments, mask, indices_are_sorted)
+    mean2 = segment_mean(
+        data * data, segment_ids, num_segments, mask, indices_are_sorted
+    )
+    var = jax.nn.relu(mean2 - mean * mean)
+    return jnp.sqrt(var + eps)
+
+
+def segment_softmax(
+    logits: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    """Per-segment softmax over edges (GAT attention normalization;
+    ref: torch_geometric.utils.softmax used by GATConv)."""
+    if mask is not None:
+        m = mask.reshape((-1,) + (1,) * (logits.ndim - 1))
+        logits = jnp.where(m, logits, jnp.finfo(logits.dtype).min)
+    seg_max = jax.ops.segment_max(
+        logits, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    logits = logits - seg_max[segment_ids]
+    unnorm = jnp.exp(logits)
+    if mask is not None:
+        unnorm = unnorm * mask.astype(unnorm.dtype).reshape(
+            (-1,) + (1,) * (unnorm.ndim - 1)
+        )
+    denom = segment_sum(unnorm, segment_ids, num_segments, indices_are_sorted)
+    denom = jnp.maximum(denom, jnp.asarray(1e-16, denom.dtype))
+    return unnorm / denom[segment_ids]
+
+
+def masked_segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: jnp.ndarray,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    """global_mean_pool equivalent (ref: hydragnn/models/Base.py:478)."""
+    return segment_mean(data, segment_ids, num_segments, mask, indices_are_sorted)
+
+
+def gather_scatter_sum(
+    node_feat: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    num_nodes: int,
+    edge_weight: Optional[jnp.ndarray] = None,
+    edge_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Plain SpMM: out[r] += w_e * x[s] — the unfused baseline message layer."""
+    msg = node_feat[senders]
+    if edge_weight is not None:
+        msg = msg * edge_weight.reshape((-1,) + (1,) * (msg.ndim - 1))
+    if edge_mask is not None:
+        msg = msg * edge_mask.astype(msg.dtype).reshape(
+            (-1,) + (1,) * (msg.ndim - 1)
+        )
+    return segment_sum(msg, receivers, num_nodes)

@@ -1,0 +1,116 @@
+"""Top-level entry points (ref: hydragnn/run_training.py:48-182,
+run_prediction.py:34-107).
+
+``run_training(config_or_path)``: env/dist setup -> data load+split ->
+config update -> model -> train_validate_test -> save. Library-style use
+(examples calling the pieces directly) is equally supported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+
+from hydragnn_tpu.config import (
+    get_log_name_config,
+    load_config,
+    save_config,
+    update_config,
+)
+from hydragnn_tpu.data.dataloader import create_dataloaders, split_dataset
+from hydragnn_tpu.models.arch import arch_config_from_dict
+from hydragnn_tpu.models.create import create_model
+from hydragnn_tpu.train.trainer import (
+    evaluate,
+    make_eval_step,
+    train_validate_test,
+)
+from hydragnn_tpu.utils.print_utils import setup_log
+
+
+def _load_dataset(config: Dict[str, Any]):
+    """Dataset dispatch by format (ref: preprocess/load_data.py:206-330)."""
+    ds_cfg = config["Dataset"]
+    fmt = ds_cfg.get("format", "unit_test")
+    if fmt in ("unit_test", "LSMS"):
+        from hydragnn_tpu.data.lsms import load_lsms_dataset
+
+        paths = ds_cfg["path"]
+        if "total" in paths:
+            total = load_lsms_dataset(config, paths["total"])
+            return split_dataset(
+                total,
+                config["NeuralNetwork"]["Training"]["perc_train"],
+                ds_cfg.get("compositional_stratified_splitting", False),
+            )
+        train = load_lsms_dataset(config, paths["train"])
+        val = load_lsms_dataset(config, paths["validate"])
+        test = load_lsms_dataset(config, paths["test"])
+        return train, val, test
+    if fmt == "pickle":
+        from hydragnn_tpu.data.pickledataset import SimplePickleDataset
+
+        base = list(ds_cfg["path"].values())[0]
+        return (
+            list(SimplePickleDataset(base, "trainset")),
+            list(SimplePickleDataset(base, "valset")),
+            list(SimplePickleDataset(base, "testset")),
+        )
+    raise ValueError(f"Unknown dataset format: {fmt}")
+
+
+def run_training(
+    config_or_path: Union[str, Dict[str, Any]],
+    chosen_seed: Optional[int] = None,
+):
+    config = (
+        load_config(config_or_path)
+        if isinstance(config_or_path, str)
+        else config_or_path
+    )
+    verbosity = config.get("Verbosity", {}).get("level", 0)
+
+    trainset, valset, testset = _load_dataset(config)
+    config = update_config(config, trainset, valset, testset)
+
+    train_loader, val_loader, test_loader = create_dataloaders(
+        trainset, valset, testset,
+        batch_size=config["NeuralNetwork"]["Training"]["batch_size"],
+    )
+
+    log_name = get_log_name_config(config)
+    setup_log(log_name)
+    save_config(config, log_name)
+
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+
+    rng = jax.random.PRNGKey(chosen_seed if chosen_seed is not None else 0)
+    state, results = train_validate_test(
+        model, cfg, config, train_loader, val_loader, test_loader,
+        rng=rng, verbosity=verbosity,
+        checkpoint_dir=os.path.join("./logs", log_name),
+    )
+    return model, cfg, config, state, results
+
+
+def run_prediction(
+    config: Dict[str, Any],
+    model,
+    cfg,
+    state,
+    test_loader=None,
+):
+    """ref: run_prediction.py:34-107 — run test() and return error metrics +
+    predictions."""
+    if test_loader is None:
+        trainset, valset, testset = _load_dataset(config)
+        _, _, test_loader = create_dataloaders(
+            trainset, valset, testset,
+            batch_size=config["NeuralNetwork"]["Training"]["batch_size"],
+        )
+    eval_step = make_eval_step(model, cfg)
+    return evaluate(test_loader, state, eval_step, cfg)

@@ -1,0 +1,310 @@
+"""Train/validate/test loop (ref: hydragnn/train/train_validate_test.py).
+
+TPU-native structure: one jitted, donated train step (forward + loss + grad +
+optax update + batch-stats update) instead of the reference's eager epoch loop
+with DDP hooks. Data parallelism: the same step jitted over a device mesh with
+batch inputs sharded on the "data" axis — XLA inserts the gradient psums that
+DDP's allreduce hooks do by hand (see hydragnn_tpu.parallel.mesh).
+
+Energy-force training (``compute_grad_energy``; ref: train_validate_test.py:
+517-520 + Base.energy_force_loss:582-636): forces = -d(sum E)/d(pos) via an
+inner ``jax.grad`` — nested autodiff replaces torch's create_graph=True.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from flax.core import FrozenDict
+import optax
+
+from hydragnn_tpu.graph import GraphBatch
+from hydragnn_tpu.models.arch import ArchConfig
+from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.models.losses import (
+    compute_loss,
+    energy_force_loss,
+    head_masks,
+    head_targets,
+)
+from hydragnn_tpu.ops.segment import segment_sum
+from hydragnn_tpu.train.optimizer import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    select_optimizer,
+)
+import hydragnn_tpu.utils.tracer as tr
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @property
+    def learning_rate(self) -> float:
+        return float(self.opt_state.hyperparams["learning_rate"])
+
+    def set_learning_rate(self, lr: float) -> "TrainState":
+        hp = dict(self.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return self.replace(opt_state=self.opt_state._replace(hyperparams=hp))
+
+
+def init_state(
+    model: HydraBase,
+    sample_batch: GraphBatch,
+    optimizer: optax.GradientTransformation,
+    rng: Optional[jax.Array] = None,
+) -> TrainState:
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    variables = model.init(rng, sample_batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    opt_state = optimizer.init(params)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _forward(model, params, batch_stats, batch, train, rngs=None):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mutated = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"], rngs=rngs
+        )
+        return out, mutated["batch_stats"]
+    out = model.apply(variables, batch, train=False)
+    return out, batch_stats
+
+
+def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool):
+    """Returns loss_fn(params, batch_stats, batch, rng, train) ->
+    (loss, (aux...))."""
+
+    if not compute_grad_energy:
+
+        def loss_fn(params, batch_stats, batch, rng, train: bool):
+            rngs = {"dropout": rng} if train else None
+            pred, new_stats = _forward(model, params, batch_stats, batch, train, rngs)
+            loss, tasks = compute_loss(cfg, pred, batch)
+            return loss, (tasks, pred, new_stats)
+
+        return loss_fn
+
+    def loss_fn(params, batch_stats, batch, rng, train: bool):
+        rngs = {"dropout": rng} if train else None
+
+        def graph_energy_of_pos(pos):
+            b = batch.replace(pos=pos)
+            pred, _ = _forward(model, params, batch_stats, b, train, rngs)
+            node_e = pred[0]
+            ge = segment_sum(
+                node_e[:, 0] * b.node_mask.astype(node_e.dtype),
+                b.node_graph_idx,
+                b.num_graphs,
+            )
+            return jnp.sum(ge), pred
+
+        (_, pred), dE_dpos = jax.value_and_grad(
+            graph_energy_of_pos, has_aux=True
+        )(batch.pos)
+        forces_pred = -dE_dpos
+        _, new_stats = _forward(model, params, batch_stats, batch, train, rngs)
+        loss, tasks = energy_force_loss(cfg, pred[0], forces_pred, batch)
+        return loss, (tasks, pred, new_stats)
+
+    return loss_fn
+
+
+def make_train_step(
+    model: HydraBase,
+    cfg: ArchConfig,
+    optimizer: optax.GradientTransformation,
+    compute_grad_energy: bool = False,
+):
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy)
+
+    def train_step(state: TrainState, batch: GraphBatch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (tasks, _, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, True
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss, tasks
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model: HydraBase, cfg: ArchConfig, compute_grad_energy=False):
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy)
+
+    def eval_step(state: TrainState, batch: GraphBatch):
+        loss, (tasks, pred, _) = loss_fn(
+            state.params, state.batch_stats, batch, jax.random.PRNGKey(0), False
+        )
+        return loss, tasks, pred
+
+    return jax.jit(eval_step)
+
+
+def _epoch_mean(vals: List[float]) -> float:
+    return float(np.mean(vals)) if vals else float("nan")
+
+
+def train_epoch(loader, state, train_step, rng):
+    losses, task_losses = [], []
+    for batch in loader:
+        state, loss, tasks = train_step(state, batch, rng)
+        losses.append(float(loss))
+        task_losses.append([float(t) for t in tasks])
+    return state, _epoch_mean(losses), task_losses
+
+
+def evaluate(loader, state, eval_step, cfg: ArchConfig):
+    """Returns (mean loss, per-head task losses, per-head rmse, per-head mae).
+
+    Metric accumulation mirrors the reference's all-reduced sums
+    (ref: train_validate_test.py:570-748): masked sum of squared/abs error and
+    counts accumulated over batches.
+    """
+    losses = []
+    nh = cfg.num_heads
+    sq = np.zeros(nh)
+    ab = np.zeros(nh)
+    cnt = np.zeros(nh)
+    tasks_acc = np.zeros(nh)
+    nb = 0
+    for batch in loader:
+        loss, tasks, pred = eval_step(state, batch)
+        losses.append(float(loss))
+        if cfg.var_output:
+            pred = pred[0]
+        targets = head_targets(cfg, batch)
+        masks = head_masks(cfg, batch)
+        for ih in range(nh):
+            p = np.asarray(pred[ih])
+            t = np.asarray(targets[ih]).reshape(p.shape)
+            m = np.asarray(masks[ih]).astype(np.float64)
+            w = m.reshape((-1,) + (1,) * (p.ndim - 1))
+            sq[ih] += float(np.sum((p - t) ** 2 * w))
+            ab[ih] += float(np.sum(np.abs(p - t) * w))
+            cnt[ih] += float(np.sum(m)) * p.shape[-1]
+            tasks_acc[ih] += float(tasks[ih])
+        nb += 1
+    rmse = np.sqrt(sq / np.maximum(cnt, 1.0))
+    mae = ab / np.maximum(cnt, 1.0)
+    return (
+        _epoch_mean(losses),
+        (tasks_acc / max(nb, 1)).tolist(),
+        rmse.tolist(),
+        mae.tolist(),
+    )
+
+
+def train_validate_test(
+    model: HydraBase,
+    cfg: ArchConfig,
+    config: Dict[str, Any],
+    train_loader,
+    val_loader,
+    test_loader,
+    state: Optional[TrainState] = None,
+    rng: Optional[jax.Array] = None,
+    verbosity: int = 0,
+    checkpoint_dir: Optional[str] = None,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """ref: train_validate_test.py:52-264 epoch loop (sampler.set_epoch,
+    scheduler.step(val_loss), Checkpoint best-val with warmup, EarlyStopping,
+    walltime guard hook)."""
+    training = config["NeuralNetwork"]["Training"]
+    num_epoch = int(training["num_epoch"])
+    compute_grad_energy = bool(training.get("compute_grad_energy", False))
+
+    optimizer = select_optimizer(training)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    if state is None:
+        sample = next(iter(train_loader))
+        state = init_state(model, sample, optimizer, rng)
+
+    train_step = make_train_step(model, cfg, optimizer, compute_grad_energy)
+    eval_step = make_eval_step(model, cfg, compute_grad_energy)
+
+    scheduler = ReduceLROnPlateau()
+    early = (
+        EarlyStopping(patience=int(training.get("patience", 10)))
+        if training.get("EarlyStopping", False)
+        else None
+    )
+    use_ckpt = bool(training.get("Checkpoint", False)) and checkpoint_dir
+    warmup = int(training.get("checkpoint_warmup", 0))
+    best_val = float("inf")
+    best_state = None
+
+    history = {"train_loss": [], "val_loss": [], "train_tasks": [], "val_tasks": []}
+    for epoch in range(num_epoch):
+        tr.start("train")
+        train_loader.set_epoch(epoch)
+        state, train_loss, _ = train_epoch(train_loader, state, train_step, rng)
+        tr.stop("train")
+        tr.start("validate")
+        val_loss, val_tasks, _, _ = evaluate(val_loader, state, eval_step, cfg)
+        tr.stop("validate")
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        history["val_tasks"].append(val_tasks)
+
+        new_lr = scheduler.step(val_loss, state.learning_rate)
+        if new_lr != state.learning_rate:
+            state = state.set_learning_rate(new_lr)
+
+        if val_loss < best_val and epoch >= warmup:
+            best_val = val_loss
+            if use_ckpt:
+                from hydragnn_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, state, epoch=epoch)
+            # host copy: later donated train steps would invalidate aliases
+            best_state = jax.device_get(state)
+
+        if verbosity > 0:
+            print(
+                f"epoch {epoch}: train {train_loss:.6f} val {val_loss:.6f} "
+                f"lr {state.learning_rate:.2e}"
+            )
+        if early is not None and early(val_loss):
+            break
+
+    if best_state is not None and bool(training.get("Checkpoint", False)):
+        state = best_state
+    test_loss, test_tasks, test_rmse, test_mae = evaluate(
+        test_loader, state, eval_step, cfg
+    )
+    results = {
+        "history": history,
+        "test_loss": test_loss,
+        "test_tasks": test_tasks,
+        "test_rmse": test_rmse,
+        "test_mae": test_mae,
+    }
+    return state, results
