@@ -1,0 +1,225 @@
+"""DimeNet++ stack (ref: hydragnn/models/DIMEStack.py:34-305).
+
+Triplet-interaction model. Each conv layer = node lin -> edge embedding block
+-> one InteractionPP block (directional message passing over triplets) ->
+OutputPP block back to nodes. Bessel rbf per edge, spherical basis per
+triplet.
+
+TPU-first triplet construction: the reference builds variable-length triplet
+lists with torch_sparse (ref: DIMEStack.triplets:232-257). Here triplets are
+materialized with a static per-edge slot cap K = max_neighbours from the
+sorted-receiver CSR (edges k->j for each edge j->i live in contiguous rows),
+masked where invalid — static shapes, no host sync. Flattened row-major so
+``idx_ji`` is sorted (fast segment reductions).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hydragnn_tpu.graph import GraphBatch
+from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.models.pnaplus import BesselBasisLayer
+from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
+from hydragnn_tpu.ops.segment import segment_sum
+from hydragnn_tpu.ops.spherical import spherical_basis
+
+
+class Triplets(NamedTuple):
+    idx_kj: jnp.ndarray  # [T] edge id of k->j
+    idx_ji: jnp.ndarray  # [T] edge id of j->i (sorted ascending)
+    mask: jnp.ndarray  # [T] valid triplet
+
+
+def build_triplets(batch: GraphBatch, max_neighbours: int) -> Triplets:
+    """Static-shape triplets (k->j->i) from receiver-sorted edges."""
+    E = batch.num_edges
+    N = batch.num_nodes
+    K = max_neighbours
+    recv = batch.receivers
+    send = batch.senders
+    node_ids = jnp.arange(N + 1, dtype=jnp.int32)
+    row_ptr = jnp.searchsorted(recv, node_ids, side="left").astype(jnp.int32)
+    base = row_ptr[send]  # [E] first edge incoming to j = senders[e]
+    cnt = row_ptr[send + 1] - base
+    slots = jnp.arange(K, dtype=jnp.int32)
+    idx_kj = base[:, None] + slots[None, :]  # [E, K]
+    valid = slots[None, :] < cnt[:, None]
+    idx_kj = jnp.where(valid, idx_kj, E - 1)
+    k_nodes = send[idx_kj]
+    mask = (
+        valid
+        & (k_nodes != recv[:, None])  # remove i == k triplets
+        & batch.edge_mask[:, None]
+        & batch.edge_mask[idx_kj]
+    )
+    idx_ji = jnp.broadcast_to(
+        jnp.arange(E, dtype=jnp.int32)[:, None], (E, K)
+    )
+    return Triplets(
+        idx_kj=idx_kj.reshape(-1), idx_ji=idx_ji.reshape(-1),
+        mask=mask.reshape(-1),
+    )
+
+
+class ResidualLayer(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = jax.nn.silu(nn.Dense(self.dim)(x))
+        h = jax.nn.silu(nn.Dense(self.dim)(h))
+        return x + h
+
+
+class InteractionPPBlock(nn.Module):
+    """PyG InteractionPPBlock (directional message passing)."""
+
+    hidden: int
+    int_emb_size: int
+    basis_emb_size: int
+    num_spherical: int
+    num_radial: int
+    num_before_skip: int
+    num_after_skip: int
+
+    @nn.compact
+    def __call__(self, x_edge, rbf, sbf, trip: Triplets):
+        act = jax.nn.silu
+        E = x_edge.shape[0]
+        x_ji = act(nn.Dense(self.hidden, name="lin_ji")(x_edge))
+        x_kj = act(nn.Dense(self.hidden, name="lin_kj")(x_edge))
+        r = nn.Dense(self.basis_emb_size, use_bias=False, name="lin_rbf1")(rbf)
+        r = nn.Dense(self.hidden, use_bias=False, name="lin_rbf2")(r)
+        x_kj = x_kj * r
+        x_kj = act(nn.Dense(self.int_emb_size, use_bias=False, name="lin_down")(x_kj))
+        s = nn.Dense(self.basis_emb_size, use_bias=False, name="lin_sbf1")(sbf)
+        s = nn.Dense(self.int_emb_size, use_bias=False, name="lin_sbf2")(s)
+        t = x_kj[trip.idx_kj] * s
+        t = t * trip.mask[:, None].astype(t.dtype)
+        x_kj = segment_sum(t, trip.idx_ji, E, indices_are_sorted=True)
+        x_kj = act(nn.Dense(self.hidden, use_bias=False, name="lin_up")(x_kj))
+
+        h = x_ji + x_kj
+        for i in range(self.num_before_skip):
+            h = ResidualLayer(self.hidden, name=f"before_skip_{i}")(h)
+        h = act(nn.Dense(self.hidden, name="lin")(h)) + x_edge
+        for i in range(self.num_after_skip):
+            h = ResidualLayer(self.hidden, name=f"after_skip_{i}")(h)
+        return h
+
+
+class OutputPPBlock(nn.Module):
+    num_radial: int
+    hidden: int
+    out_emb: int
+    out_channels: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x_edge, rbf, receivers, num_nodes, edge_mask):
+        g = nn.Dense(self.hidden, use_bias=False, name="lin_rbf")(rbf)
+        x = g * x_edge
+        x = x * edge_mask[:, None].astype(x.dtype)
+        x = segment_sum(x, receivers, num_nodes, indices_are_sorted=True)
+        x = nn.Dense(self.out_emb, use_bias=False, name="lin_up")(x)
+        for i in range(self.num_layers):
+            x = jax.nn.silu(nn.Dense(self.out_emb, name=f"lin_{i}")(x))
+        return nn.Dense(self.out_channels, use_bias=False, name="lin_out")(x)
+
+
+class DimeConv(nn.Module):
+    in_dim: int
+    out_dim: int
+    hidden: int
+    cfg_tuple: tuple  # (int_emb, basis_emb, out_emb, n_sph, n_rad, nbs, nas)
+    edge_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        (int_emb, basis_emb, out_emb, n_sph, n_rad, nbs, nas) = self.cfg_tuple
+        act = jax.nn.silu
+        rbf = ctx["rbf"]
+        sbf = ctx["sbf"]
+        trip = ctx["triplets"]
+        s, r = batch.senders, batch.receivers
+
+        x = nn.Dense(self.hidden, name="lin")(inv)
+        # embedding block (ref: HydraEmbeddingBlock:259-305); i=receivers,
+        # j=senders per reference triplets() return (col, row)
+        g = act(nn.Dense(self.hidden, name="emb_lin_rbf")(rbf))
+        parts = [x[r], x[s], g]
+        e_attr = ctx.get("edge_attr")
+        if self.edge_dim and e_attr is not None:
+            parts.append(act(nn.Dense(self.hidden, name="emb_edge_lin")(e_attr)))
+        x1 = act(
+            nn.Dense(self.hidden, name="emb_lin")(jnp.concatenate(parts, -1))
+        )
+        x2 = InteractionPPBlock(
+            self.hidden, int_emb, basis_emb, n_sph, n_rad, nbs, nas,
+            name="interaction",
+        )(x1, rbf, sbf, trip)
+        out = OutputPPBlock(
+            n_rad, self.hidden, out_emb, self.out_dim, name="output",
+        )(x2, rbf, r, inv.shape[0], batch.edge_mask)
+        return out, equiv
+
+
+class DIMEStack(HydraBase):
+    is_edge_model: bool = True
+
+    def setup(self):
+        self.rbf_layer = BesselBasisLayer(
+            self.cfg.num_radial, self.cfg.radius, self.cfg.envelope_exponent,
+            name="rbf",
+        )
+        super().setup()
+
+    def get_conv(self, input_dim, output_dim, edge_dim=None, last_layer=False,
+                 name=None):
+        cfg = self.cfg
+        hidden = output_dim if input_dim == 1 else input_dim
+        assert hidden > 1, (
+            "DimeNet requires more than one hidden dimension between "
+            "input_dim and output_dim."
+        )
+        return DimeConv(
+            input_dim, output_dim, hidden,
+            (cfg.int_emb_size, cfg.basis_emb_size, cfg.out_emb_size,
+             cfg.num_spherical, cfg.num_radial, cfg.num_before_skip,
+             cfg.num_after_skip),
+            edge_dim=edge_dim,
+            name=name,
+        )
+
+    def _make_feature_layer(self, i):
+        return None  # Identity (ref: DIMEStack._init_conv:87)
+
+    def _embedding(self, batch: GraphBatch):
+        """ref: DIMEStack._embedding:162-230 — triplets, angles, rbf, sbf."""
+        inv, equiv, ctx = super()._embedding(batch)
+        cfg = self.cfg
+        trip = build_triplets(batch, cfg.max_neighbours or 16)
+        edge_vec, edge_dist = get_edge_vectors_and_lengths(
+            batch.pos, batch.senders, batch.receivers, batch.edge_shifts
+        )
+        # angle between edge ji and (composed) ki (ref: :173-182)
+        pos_ji = edge_vec[trip.idx_ji]
+        pos_kj = edge_vec[trip.idx_kj]
+        pos_ki = pos_kj + pos_ji
+        a = jnp.sum(pos_ji * pos_ki, axis=-1)
+        b = jnp.linalg.norm(jnp.cross(pos_ji, pos_ki), axis=-1)
+        angle = jnp.arctan2(b, a)
+
+        d = edge_dist[:, 0]
+        ctx["rbf"] = self.rbf_layer(d)
+        ctx["sbf"] = spherical_basis(
+            d, angle, trip.idx_kj, cfg.num_spherical, cfg.num_radial,
+            cfg.radius, cfg.envelope_exponent,
+        )
+        ctx["triplets"] = trip
+        return inv, equiv, ctx

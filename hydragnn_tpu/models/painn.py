@@ -1,0 +1,158 @@
+"""PAINN stack (ref: hydragnn/models/PAINNStack.py:27-343).
+
+Scalar + vector node features. Message: filter = lin(sinc_rbf) * cos_cutoff
+[* edge_filter(edge_attr)]; gates split into (vector-gate, edge-gate,
+scalar-msg); messages gathered from edge_index[1] and aggregated into
+edge_index[0] (the reference's reversed flow — replicated exactly, incl. the
+double normalization of edge_diff/dist, ref: PainnMessage.forward:230-246).
+Update: U/V linear mixing of vectors, |Vv| + s -> MLP -> gates; last layer
+drops the vector path. Per-layer embed-out MLP (tanh) resizes scalars;
+vectors resized by a linear (not in last layer). Identity feature layers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hydragnn_tpu.graph import GraphBatch
+from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
+from hydragnn_tpu.ops.radial import cosine_cutoff, sinc_expansion
+from hydragnn_tpu.ops.segment import segment_sum
+
+
+class PainnMessage(nn.Module):
+    node_size: int
+    num_radial: int
+    cutoff: float
+    edge_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, s_feat, v_feat, batch: GraphBatch, ctx):
+        diff = ctx["diff"]  # [E, 3] normalized
+        dist = ctx["dist"]  # [E, 1]
+        ns = self.node_size
+        rbf = sinc_expansion(dist[:, 0], self.num_radial, self.cutoff)
+        fw = nn.Dense(ns * 3, name="filter_layer")(rbf)
+        fw = fw * cosine_cutoff(dist, self.cutoff)
+        e_attr = ctx.get("edge_attr")
+        if self.edge_dim is not None and e_attr is not None:
+            ef = nn.Dense(ns, name="edge_filter_0")(e_attr)
+            ef = jax.nn.silu(ef)
+            ef = nn.Dense(ns * 3, name="edge_filter_1")(ef)
+            fw = fw * ef
+
+        h = nn.Dense(ns, name="scalar_mlp_0")(s_feat)
+        h = jax.nn.silu(h)
+        h = nn.Dense(ns * 3, name="scalar_mlp_1")(h)
+
+        # reference flow: gather from edge_index[1], aggregate into edge_index[0]
+        src_gather = batch.receivers
+        dst_scatter = batch.senders
+        filter_out = fw * h[src_gather]
+        gate_v, gate_e, msg_s = jnp.split(filter_out, 3, axis=1)
+
+        msg_v = v_feat[src_gather] * gate_v[:, None, :]
+        edge_vector = gate_e[:, None, :] * (diff / dist)[:, :, None]
+        msg_v = msg_v + edge_vector
+
+        em = batch.edge_mask
+        msg_s = msg_s * em[:, None].astype(msg_s.dtype)
+        msg_v = msg_v * em[:, None, None].astype(msg_v.dtype)
+        N = s_feat.shape[0]
+        res_s = segment_sum(msg_s, dst_scatter, N, indices_are_sorted=False)
+        res_v = segment_sum(msg_v, dst_scatter, N, indices_are_sorted=False)
+        return s_feat + res_s, v_feat + res_v
+
+
+class PainnUpdate(nn.Module):
+    node_size: int
+    last_layer: bool = False
+
+    @nn.compact
+    def __call__(self, s_feat, v_feat):
+        ns = self.node_size
+        Uv = nn.Dense(ns, name="update_U")(v_feat)
+        Vv = nn.Dense(ns, name="update_V")(v_feat)
+        Vv_norm = jnp.linalg.norm(Vv, axis=1)
+        h = jnp.concatenate([Vv_norm, s_feat], axis=1)
+        h = nn.Dense(ns, name="update_mlp_0")(h)
+        h = jax.nn.silu(h)
+        h = nn.Dense(ns * (2 if self.last_layer else 3), name="update_mlp_1")(h)
+        inner = jnp.sum(Uv * Vv, axis=1)
+        if self.last_layer:
+            a_sv, a_ss = jnp.split(h, 2, axis=1)
+            return s_feat + a_sv * inner + a_ss, v_feat
+        a_vv, a_sv, a_ss = jnp.split(h, 3, axis=1)
+        delta_v = a_vv[:, None, :] * Uv
+        return s_feat + a_sv * inner + a_ss, v_feat + delta_v
+
+
+class PainnConv(nn.Module):
+    in_dim: int
+    out_dim: int
+    num_radial: int
+    cutoff: float
+    edge_dim: Optional[int] = None
+    last_layer: bool = False
+
+    @nn.compact
+    def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        s, v = PainnMessage(
+            self.in_dim, self.num_radial, self.cutoff, self.edge_dim,
+            name="message",
+        )(inv, equiv, batch, ctx)
+        s, v = PainnUpdate(self.in_dim, self.last_layer, name="update")(s, v)
+        # embed-out resize (ref: PAINNStack.get_conv node_embed_out/vec_embed_out)
+        s = nn.Dense(self.out_dim, name="node_embed_0")(s)
+        s = jnp.tanh(s)
+        s = nn.Dense(self.out_dim, name="node_embed_1")(s)
+        if not self.last_layer:
+            v = nn.Dense(self.out_dim, name="vec_embed")(v)
+        return s, v
+
+
+class PAINNStack(HydraBase):
+    is_edge_model: bool = True
+
+    def get_conv(self, input_dim, output_dim, edge_dim=None, last_layer=False,
+                 name=None):
+        return PainnConv(
+            input_dim, output_dim,
+            num_radial=self.cfg.num_radial,
+            cutoff=self.cfg.radius,
+            edge_dim=edge_dim,
+            last_layer=last_layer,
+            name=name,
+        )
+
+    def _conv_plan(self):
+        cfg = self.cfg
+        plan = []
+        for i in range(cfg.num_conv_layers):
+            in_dim = self.embed_dim if i == 0 else cfg.hidden_dim
+            plan.append(
+                (in_dim, cfg.hidden_dim,
+                 {"last_layer": i == cfg.num_conv_layers - 1})
+            )
+        return plan
+
+    def _make_feature_layer(self, i):
+        return None  # Identity (ref: PAINNStack._init_conv:61)
+
+    def _embedding(self, batch: GraphBatch):
+        """ref: PAINNStack._embedding:149-191 — normalized edge vectors,
+        distances; equivariant state v initialized to zeros [N, 3, F]."""
+        inv, _, ctx = super()._embedding(batch)
+        diff, dist = get_edge_vectors_and_lengths(
+            batch.pos, batch.senders, batch.receivers, batch.edge_shifts,
+            normalize=True,
+        )
+        ctx["diff"] = diff
+        ctx["dist"] = jnp.maximum(dist, 1e-12)
+        v = jnp.zeros((inv.shape[0], 3, inv.shape[1]), inv.dtype)
+        return inv, v, ctx

@@ -1,16 +1,25 @@
 """Pallas TPU kernel: CSR segment-sum (message aggregation) on the MXU.
 
 Motivation: XLA's scatter-add lowering for ``jax.ops.segment_sum`` achieves
-~5% of HBM speed-of-light on TPU for typical GNN workloads (measured on
-v5e: ~37 GB/s). This kernel reformulates the sorted-edge segment reduction as
-a sequence of one-hot × message matmuls on the MXU:
+~4% of HBM speed-of-light on TPU for typical GNN workloads (measured v5e:
+31 ms for E=2.1M, F=128 — 0.067 Gedges/s). This kernel reformulates the
+sorted-edge segment reduction as one-hot x message matmuls on the MXU:
 
-    out[rows R_b] = OneHot[R_b, E_b] @ msgs[E_b, F]
+    out[rows R_b] += OneHot^T[R_b, 128] @ msgs[128, F]    per 128-edge subrow
 
 Edges are pre-sorted by receiver (done at collate; ref contract:
 torch_scatter segment ops over PyG's sorted edge_index — hydragnn/models/
-Base.py:18). Per row-block edge ranges come from a prefetched CSR row_ptr;
+Base.py:18). Receivers are stored [E/128, 128] so DMA slices stay 128-lane
+aligned (Mosaic tiling requirement); the one-hot is built transposed
+([R, 128] = rowids vs a (1,128) receiver lane-vector) so no layout changes
+are needed. Per-block edge ranges come from a prefetched CSR row_ptr;
 message tiles are double-buffered HBM->VMEM DMA.
+
+Precision: the TPU MXU rounds fp32 operands to bf16 per pass. The one-hot is
+exact in bf16, so full fp32 precision is recovered by splitting only the
+message operand into up to 3 bf16 terms (hi/mid/lo mantissa chunks) — 3 bf16
+matmuls cost ~half of one HIGHEST-precision fp32 matmul (6 passes) and give
+bit-equivalent-to-fp32 products with fp32 MXU accumulation.
 
 The backward of segment-sum is a plain gather (fast on TPU), provided via
 custom VJP. For full SpMM (gather+scatter) use ``ops.spmm.spmm`` which routes
@@ -29,42 +38,47 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows per program; edges per DMA tile
-ROW_BLOCK = 256
+# defaults tuned on v5e (see /tmp sweep; FLOPs scale linearly with ROW_BLOCK)
+ROW_BLOCK = 64
 EDGE_TILE = 512
+LANES = 128
+PASSES = 3  # bf16 split terms for the message operand (3 = exact fp32)
 
 
 def _csr_kernel(
     row_ptr_ref,  # scalar prefetch: [num_blocks + 1] edge offsets per row block
-    recv_ref,  # [E_pad, 1] int32 receivers (HBM)
+    recv_ref,  # [E_pad // 128, 128] int32 receivers (HBM)
     msgs_ref,  # [E_pad, F] float (HBM)
-    out_ref,  # [ROW_BLOCK, F] (VMEM)
-    msg_scratch,  # [2, EDGE_TILE, F] VMEM
-    recv_scratch,  # [2, EDGE_TILE, 1] VMEM
+    out_ref,  # [row_block, F] (VMEM)
+    msg_scratch,  # [2, edge_tile, F] VMEM
+    recv_scratch,  # [2, SUB, 128] VMEM
     sems,  # DMA sems [2, 2]
     *,
-    acc_dtype,
+    row_block: int,
+    edge_tile: int,
+    passes: int,
 ):
+    sub = edge_tile // LANES
     b = pl.program_id(0)
     start = row_ptr_ref[b]
     end = row_ptr_ref[b + 1]
-    row_base = b * ROW_BLOCK
+    row_base = b * row_block
     # DMA whole aligned tiles covering [start, end); edges outside the block
-    # in boundary tiles are masked out by the one-hot row match (their sorted
-    # receivers fall outside [row_base, row_base+R)).
-    t0 = start // EDGE_TILE
-    t1 = jnp.maximum(pl.cdiv(end, EDGE_TILE), t0)
+    # in boundary tiles are masked by the one-hot row match (their sorted
+    # receivers fall outside [row_base, row_base + row_block)).
+    t0 = start // edge_tile
+    t1 = jnp.maximum(pl.cdiv(end, edge_tile), t0)
 
     def get_dma(slot, t):
-        off = pl.multiple_of(t * EDGE_TILE, EDGE_TILE)
+        off = pl.multiple_of(t * edge_tile, edge_tile)
         return (
             pltpu.make_async_copy(
-                msgs_ref.at[pl.ds(off, EDGE_TILE), :],
+                msgs_ref.at[pl.ds(off, edge_tile), :],
                 msg_scratch.at[slot],
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                recv_ref.at[pl.ds(off, EDGE_TILE), :],
+                recv_ref.at[pl.ds(t * sub, sub), :],
                 recv_scratch.at[slot],
                 sems.at[slot, 1],
             ),
@@ -74,6 +88,12 @@ def _csr_kernel(
     def _():
         for d in get_dma(0, t0):
             d.start()
+
+    rowids = jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, LANES), 0
+    ) + row_base  # [R, 128]
+
+    fp32_in = msgs_ref.dtype == jnp.float32
 
     def body(t, acc):
         slot = jax.lax.rem(t - t0, 2)
@@ -87,22 +107,32 @@ def _csr_kernel(
         for d in get_dma(slot, t):
             d.wait()
 
-        recv = recv_scratch[slot]  # [T, 1]
-        msgs = msg_scratch[slot]  # [T, F]
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (EDGE_TILE, ROW_BLOCK), 1
-        ) + row_base
-        onehot = (recv == rows).astype(msgs.dtype)
-        # MXU: [R, T] @ [T, F]
-        acc = acc + jax.lax.dot_general(
-            onehot,
-            msgs,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
-        )
+        for si in range(sub):
+            recv_row = recv_scratch[slot, si : si + 1, :]  # (1, 128)
+            onehot_t = (rowids == recv_row).astype(jnp.bfloat16)  # [R, 128]
+            msgs = msg_scratch[slot, si * LANES : (si + 1) * LANES, :]
+            if fp32_in and passes > 1:
+                # split msgs into bf16 mantissa chunks; one-hot is exact
+                rem = msgs
+                for _ in range(passes):
+                    term = rem.astype(jnp.bfloat16)
+                    rem = rem - term.astype(jnp.float32)
+                    acc = acc + jax.lax.dot_general(
+                        onehot_t,
+                        term,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                acc = acc + jax.lax.dot_general(
+                    onehot_t,
+                    msgs.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         return acc
 
-    acc = jnp.zeros((ROW_BLOCK, out_ref.shape[1]), acc_dtype)
+    acc = jnp.zeros((row_block, out_ref.shape[1]), jnp.float32)
     acc = jax.lax.fori_loop(t0, t1, body, acc)
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -121,11 +151,18 @@ def segment_sum_csr(msgs: jnp.ndarray, receivers: jnp.ndarray, num_nodes: int):
     return _segment_sum_csr_impl(msgs, receivers, num_nodes)
 
 
-def _segment_sum_csr_impl(msgs, receivers, num_nodes):
+def _segment_sum_csr_impl(
+    msgs,
+    receivers,
+    num_nodes,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = EDGE_TILE,
+    passes: int = PASSES,
+):
     E, F = msgs.shape
-    N_pad = _round_up(num_nodes, ROW_BLOCK)
-    E_pad = _round_up(E, EDGE_TILE)
-    num_blocks = N_pad // ROW_BLOCK
+    N_pad = _round_up(num_nodes, row_block)
+    E_pad = _round_up(E, edge_tile)
+    num_blocks = N_pad // row_block
 
     if E_pad != E:
         msgs = jnp.pad(msgs, ((0, E_pad - E), (0, 0)))
@@ -135,12 +172,11 @@ def _segment_sum_csr_impl(msgs, receivers, num_nodes):
         )
 
     # CSR row offsets at block granularity: first edge of each row block
-    block_rows = jnp.arange(num_blocks + 1, dtype=jnp.int32) * ROW_BLOCK
+    block_rows = jnp.arange(num_blocks + 1, dtype=jnp.int32) * row_block
     row_ptr = jnp.searchsorted(receivers, block_rows, side="left").astype(jnp.int32)
-    # clamp to the real edge count: padded tail must still be DMA-safe
     row_ptr = jnp.minimum(row_ptr, E_pad)
 
-    recv2d = receivers.reshape(E_pad, 1).astype(jnp.int32)
+    recv2d = receivers.reshape(E_pad // LANES, LANES).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -150,24 +186,27 @@ def _segment_sum_csr_impl(msgs, receivers, num_nodes):
             pl.BlockSpec(memory_space=pltpu.ANY),  # msgs
         ],
         out_specs=pl.BlockSpec(
-            (ROW_BLOCK, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+            (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, EDGE_TILE, F), msgs.dtype),
-            pltpu.VMEM((2, EDGE_TILE, 1), jnp.int32),
+            pltpu.VMEM((2, edge_tile, F), msgs.dtype),
+            pltpu.VMEM((2, edge_tile // LANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_csr_kernel, acc_dtype=jnp.float32),
+        functools.partial(
+            _csr_kernel, row_block=row_block, edge_tile=edge_tile,
+            passes=passes,
+        ),
         out_shape=jax.ShapeDtypeStruct((N_pad, F), msgs.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * E_pad * ROW_BLOCK * F,
+            flops=2 * E_pad * row_block * F * max(passes, 1),
             bytes_accessed=E_pad * F * 4 + N_pad * F * 4 + E_pad * 4,
             transcendentals=0,
         ),

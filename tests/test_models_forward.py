@@ -48,7 +48,8 @@ def make_cfg(mpnn_type, output_type=("graph",), output_dim=(1,), **kw):
     return ArchConfig(**defaults)
 
 
-MODELS = ["GIN", "SAGE", "MFC", "PNA", "CGCNN", "GAT", "SchNet", "EGNN"]
+MODELS = ["GIN", "SAGE", "MFC", "PNA", "CGCNN", "GAT", "SchNet", "EGNN",
+          "PNAPlus", "PAINN", "PNAEq", "DimeNet", "MACE"]
 
 
 def _extra(mpnn_type):
@@ -65,6 +66,13 @@ def _extra(mpnn_type):
     if mpnn_type == "SchNet":
         kw["num_gaussians"] = 10
         kw["num_filters"] = 8
+    if mpnn_type == "DimeNet":
+        kw.update(dict(basis_emb_size=8, int_emb_size=16, out_emb_size=16,
+                       num_after_skip=2, num_before_skip=1, num_spherical=5,
+                       max_neighbours=8))
+    if mpnn_type == "MACE":
+        kw.update(dict(max_ell=2, node_max_ell=1, avg_num_neighbors=3.0,
+                       correlation=(2,)))
     return kw
 
 
