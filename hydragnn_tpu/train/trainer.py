@@ -181,13 +181,14 @@ def train_epoch(loader, state, train_step, rng):
     return state, _epoch_mean(losses), task_losses
 
 
-def evaluate(loader, state, eval_step, cfg: ArchConfig):
+def evaluate(loader, state, eval_step, cfg: ArchConfig,
+             compute_grad_energy: bool = False):
     """Returns (mean loss, per-head task losses, per-head rmse, per-head mae).
 
     Metric accumulation mirrors the reference's all-reduced sums
     (ref: train_validate_test.py:570-748): masked sum of squared/abs error and
-    counts accumulated over batches.
-    """
+    counts accumulated over batches. In energy-force mode the metric is graph
+    energy error (pred = segment-sum of nodal energies vs batch.energy)."""
     losses = []
     nh = cfg.num_heads
     sq = np.zeros(nh)
@@ -200,6 +201,21 @@ def evaluate(loader, state, eval_step, cfg: ArchConfig):
         losses.append(float(loss))
         if cfg.var_output:
             pred = pred[0]
+        if compute_grad_energy:
+            from hydragnn_tpu.ops.segment import segment_sum
+
+            node_e = pred[0][:, 0] * batch.node_mask
+            ge = np.asarray(
+                segment_sum(node_e, batch.node_graph_idx, batch.num_graphs)
+            )
+            gt = np.asarray(batch.energy)
+            m = np.asarray(batch.graph_mask).astype(np.float64)
+            sq[0] += float(np.sum((ge - gt) ** 2 * m))
+            ab[0] += float(np.sum(np.abs(ge - gt) * m))
+            cnt[0] += float(np.sum(m))
+            tasks_acc[0] += float(tasks[0])
+            nb += 1
+            continue
         targets = head_targets(cfg, batch)
         masks = head_masks(cfg, batch)
         for ih in range(nh):
@@ -268,7 +284,9 @@ def train_validate_test(
         state, train_loss, _ = train_epoch(train_loader, state, train_step, rng)
         tr.stop("train")
         tr.start("validate")
-        val_loss, val_tasks, _, _ = evaluate(val_loader, state, eval_step, cfg)
+        val_loss, val_tasks, _, _ = evaluate(
+            val_loader, state, eval_step, cfg, compute_grad_energy
+        )
         tr.stop("validate")
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)
@@ -298,7 +316,7 @@ def train_validate_test(
     if best_state is not None and bool(training.get("Checkpoint", False)):
         state = best_state
     test_loss, test_tasks, test_rmse, test_mae = evaluate(
-        test_loader, state, eval_step, cfg
+        test_loader, state, eval_step, cfg, compute_grad_energy
     )
     results = {
         "history": history,

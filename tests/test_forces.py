@@ -1,0 +1,123 @@
+"""Energy-force training: loss path, force equivariance, learnability
+(ref: tests/test_forces_equivariant.py:18-29 + Base.energy_force_loss)."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), "..", "examples", "LennardJones")
+)
+from lennard_jones import make_dataset  # noqa: E402
+
+from hydragnn_tpu.config import update_config
+from hydragnn_tpu.data.dataloader import create_dataloaders, split_dataset
+from hydragnn_tpu.graph import collate
+from hydragnn_tpu.models.arch import arch_config_from_dict
+from hydragnn_tpu.models.create import create_model
+from hydragnn_tpu.train.trainer import (
+    make_loss_fn,
+    init_state,
+    train_validate_test,
+)
+from hydragnn_tpu.train.optimizer import select_optimizer
+from hydragnn_tpu.ops.segment import segment_sum
+
+
+def _config(mpnn_type="EGNN", num_epoch=8):
+    return {
+        "Verbosity": {"level": 0},
+        "NeuralNetwork": {
+            "Architecture": {
+                "mpnn_type": mpnn_type,
+                "radius": 4.0,
+                "max_neighbours": 64,
+                "hidden_dim": 16,
+                "num_conv_layers": 2,
+                "num_gaussians": 16,
+                "num_filters": 16,
+                "num_radial": 6,
+                "envelope_exponent": 5,
+                "output_heads": {
+                    "node": {"num_headlayers": 2, "dim_headlayers": [16, 16],
+                             "type": "mlp"}
+                },
+                "task_weights": [1.0],
+            },
+            "Variables_of_interest": {
+                "input_node_features": [0],
+                "output_names": ["energy"],
+                "output_index": [0],
+                "type": ["node"],
+                "output_dim": [1],
+                "denormalize_output": False,
+            },
+            "Training": {
+                "num_epoch": num_epoch,
+                "perc_train": 0.8,
+                "compute_grad_energy": True,
+                "batch_size": 8,
+                "Optimizer": {"type": "AdamW", "learning_rate": 0.005},
+            },
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def lj_data():
+    return make_dataset(n_configs=40, uc=2, seed=3)
+
+
+def test_energy_force_training_decreases_loss(lj_data):
+    config = _config()
+    train, val, test = split_dataset(lj_data, 0.8)
+    config = update_config(config, train, val, test)
+    loaders = create_dataloaders(train, val, test, batch_size=8)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+    state, results = train_validate_test(model, cfg, config, *loaders)
+    h = results["history"]["train_loss"]
+    assert h[-1] < h[0] * 0.9, h
+
+
+def predicted_forces(model, cfg, state, batch):
+    def energy(pos):
+        pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.replace(pos=pos), train=False,
+        )
+        node_e = pred[0][:, 0] * batch.node_mask
+        return jnp.sum(
+            segment_sum(node_e, batch.node_graph_idx, batch.num_graphs)
+        )
+
+    return -jax.grad(energy)(batch.pos)
+
+
+def test_force_equivariance(lj_data):
+    """Rotating positions must rotate predicted forces (ref:
+    tests/test_forces_equivariant.py)."""
+    config = _config()
+    train, val, test = split_dataset(lj_data, 0.8)
+    config = update_config(config, train, val, test)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+    batch = collate(train[:4])
+    opt = select_optimizer(config["NeuralNetwork"]["Training"])
+    state = init_state(model, batch, opt)
+
+    rng = np.random.RandomState(0)
+    Q, R = np.linalg.qr(rng.randn(3, 3))
+    Q = (Q * np.sign(np.diag(R))).astype(np.float32)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+
+    f1 = np.asarray(predicted_forces(model, cfg, state, batch))
+    b2 = batch.replace(pos=batch.pos @ jnp.asarray(Q.T))
+    f2 = np.asarray(predicted_forces(model, cfg, state, b2))
+    m = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(f2[m], f1[m] @ Q.T, rtol=1e-3, atol=1e-4)
