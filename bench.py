@@ -1,9 +1,14 @@
 """Benchmark: message-aggregation (SpMM) throughput vs HBM speed-of-light.
 
 North-star metric (BASELINE.md): segment-sum aggregation — THE hot op of every
-message-passing layer — at HBM speed-of-light per chip. This measures the
-sorted-CSR gather+segment_sum path used by all conv layers on a representative
-workload and reports the achieved fraction of the HBM roofline.
+message-passing layer — at HBM speed-of-light per chip. Measures the
+framework's aggregation path (Pallas CSR kernel on TPU, XLA segment_sum
+elsewhere) on a representative workload (N=128k nodes, avg degree 16, F=128)
+and reports the achieved fraction of the HBM roofline.
+
+Measurement is dependency-chained inside one jit (fori_loop feeding varying
+inputs) — repeated identical-arg calls would hit result caching through the
+remote-TPU tunnel and read as impossibly fast.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -17,9 +22,9 @@ import numpy as np
 def hbm_bandwidth_bytes(device) -> float:
     kind = getattr(device, "device_kind", "").lower()
     table = {
-        "tpu v5 lite": 819e9,  # v5e: 819 GB/s
+        "tpu v5 lite": 819e9,  # v5e
         "tpu v5e": 819e9,
-        "tpu v5": 2765e9,  # v5p
+        "tpu v5p": 2765e9,
         "tpu v4": 1228e9,
         "tpu v6 lite": 1640e9,  # v6e (Trillium)
         "tpu v6e": 1640e9,
@@ -33,7 +38,7 @@ def hbm_bandwidth_bytes(device) -> float:
 def main():
     import jax
     import jax.numpy as jnp
-    from hydragnn_tpu.ops.segment import gather_scatter_sum
+    from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
 
     dev = jax.devices()[0]
     bw = hbm_bandwidth_bytes(dev)
@@ -52,23 +57,29 @@ def main():
     sd = jax.device_put(jnp.asarray(senders), dev)
     rd = jax.device_put(jnp.asarray(receivers), dev)
 
+    iters = 10
+
     @jax.jit
-    def spmm(x, s, r):
-        return gather_scatter_sum(x, s, r, N)
+    def chained(x0):
+        def body(i, acc):
+            # gather input depends on acc so neither the gather nor the
+            # reduction can be hoisted out of the loop
+            msgs = (xd + acc * 1e-9)[sd]
+            return acc * 0.5 + segment_sum_auto(msgs, rd, N)
 
-    out = spmm(xd, sd, rd)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((N, F), jnp.float32))
+
+    out = chained(xd)
     out.block_until_ready()
-
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = spmm(xd, sd, rd)
+    out = chained(xd)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = E / dt
-    # HBM roofline: gather reads E*F*4 (random rows — assume no reuse),
-    # segment-sum writes N*F*4, plus index reads E*8.
+    # HBM roofline for gather + reduce: node reads for the gather (E*F*4 worst
+    # case, random rows), message write+read between gather and reduce is
+    # fused away in the kernel path -> count E*F*4 read + N*F*4 write + idx.
     bytes_moved = E * F * 4 + N * F * 4 + E * 8
     sol_time = bytes_moved / bw
     fraction = sol_time / dt

@@ -27,7 +27,24 @@ def radius_graph(
     n = pos.shape[0]
     if n == 0:
         return np.zeros((2, 0), np.int64)
-    # cell list
+
+    # native C++ cell-list path (hydragnn_tpu/native/neighbors.cpp)
+    from hydragnn_tpu import native
+
+    L = native.lib()
+    if L is not None:
+        posf = np.ascontiguousarray(pos, np.float32)
+        cap = max(n * min(max_num_neighbors, n), 16)
+        senders_b = np.empty(cap, np.int64)
+        receivers_b = np.empty(cap, np.int64)
+        ne = L.radius_graph(
+            posf.ctypes.data, n, np.float32(r), max_num_neighbors,
+            int(loop), senders_b.ctypes.data, receivers_b.ctypes.data, cap,
+        )
+        if ne >= 0:
+            return np.stack([senders_b[:ne], receivers_b[:ne]]).astype(np.int64)
+
+    # numpy fallback: cell list
     cell = max(r, 1e-12)
     keys = np.floor(pos / cell).astype(np.int64)
     # brute force within candidate pairs from neighboring cells
@@ -83,6 +100,31 @@ def radius_graph_pbc(
     """
     n = pos.shape[0]
     cell = np.asarray(cell, np.float64).reshape(3, 3)
+
+    # native C++ path
+    from hydragnn_tpu import native
+
+    L = native.lib()
+    if L is not None:
+        posf = np.ascontiguousarray(pos, np.float32)
+        cellf = np.ascontiguousarray(cell, np.float32)
+        pbc_i = np.asarray([int(b) for b in pbc], np.int32)
+        cap = max(n * min(max_num_neighbors, 4 * n), 16)
+        senders_b = np.empty(cap, np.int64)
+        receivers_b = np.empty(cap, np.int64)
+        shifts_b = np.empty((cap, 3), np.float32)
+        ne = L.radius_graph_pbc(
+            posf.ctypes.data, n, cellf.ctypes.data, np.float32(r),
+            max_num_neighbors, pbc_i.ctypes.data, senders_b.ctypes.data,
+            receivers_b.ctypes.data, shifts_b.ctypes.data, cap,
+        )
+        if ne >= 0:
+            return (
+                np.stack([senders_b[:ne], receivers_b[:ne]]).astype(np.int64),
+                shifts_b[:ne].copy(),
+            )
+
+    # numpy fallback
     # bound on number of cell images needed per axis
     inv = np.linalg.inv(cell.T)
     heights = 1.0 / np.linalg.norm(inv, axis=0)
