@@ -50,7 +50,7 @@ def lj_energy_forces(pos, cell, cutoff):
     return energy, forces, per_atom_energy, edge_index, shifts
 
 
-def make_dataset(n_configs=300, uc=3, a=1.679, cutoff=4.0, jitter=0.05, seed=17):
+def make_dataset(n_configs=300, uc=3, a=1.679, cutoff=2.5, jitter=0.02, seed=17):
     """Perturbed FCC argon-like supercells (ref: LJ_data.py:268-380)."""
     rng = np.random.RandomState(seed)
     base = np.array(
@@ -66,18 +66,25 @@ def make_dataset(n_configs=300, uc=3, a=1.679, cutoff=4.0, jitter=0.05, seed=17)
         pos = np.concatenate(pts, axis=0)
         pos = pos + rng.randn(*pos.shape) * jitter * a
         cell = np.eye(3) * (uc * a)
-        energy, forces, node_e, edge_index, shifts = lj_energy_forces(
-            pos, cell, cutoff
+        energy, forces, node_e, _, _ = lj_energy_forces(pos, cell, cutoff)
+        # model graph: 5 nearest neighbors (ref: LJ.json max_neighbours=5 —
+        # low degree keeps EGNN's sum aggregation well-scaled), separate from
+        # the physics cutoff used for the LJ targets above
+        edge_index, shifts = radius_graph_pbc(
+            pos, cell, 5.0, max_num_neighbors=5
         )
         n = pos.shape[0]
+        # per-atom scaling keeps the extensive energy O(1) so fp32 training is
+        # well-conditioned regardless of supercell size (forces scaled
+        # consistently: both targets divided by n)
         samples.append(
             GraphSample(
                 x=np.ones((n, 1), np.float32),
                 pos=pos.astype(np.float32),
                 edge_index=edge_index,
                 edge_shifts=shifts,
-                energy=np.float32(energy),
-                forces=forces.astype(np.float32),
+                energy=np.float32(energy / n),
+                forces=(forces / n).astype(np.float32),
             )
         )
     return samples
@@ -105,8 +112,8 @@ def main():
         "NeuralNetwork": {
             "Architecture": {
                 "mpnn_type": args.mpnn_type,
-                "radius": 4.0,
-                "max_neighbours": 64,
+                "radius": 5.0,
+                "max_neighbours": 5,
                 "hidden_dim": args.hidden_dim,
                 "num_conv_layers": 3,
                 "num_gaussians": 32,
@@ -135,7 +142,7 @@ def main():
                 "perc_train": 0.8,
                 "compute_grad_energy": True,
                 "batch_size": 16,
-                "Optimizer": {"type": "AdamW", "learning_rate": 0.002},
+                "Optimizer": {"type": "AdamW", "learning_rate": 0.005},
             },
         },
     }

@@ -27,41 +27,22 @@ def split_dataset(
     (ref: preprocess/load_data.py:329-377). ``stratify_splitting`` stratifies
     by elemental composition (ref: compositional_data_splitting.py:19-156),
     approximated by sorting on composition signature before round-robin."""
+    if stratify_splitting:
+        from hydragnn_tpu.data.compositional_splitting import (
+            compositional_stratified_splitting,
+        )
+
+        return compositional_stratified_splitting(dataset, perc_train, seed)
     n = len(dataset)
     idx = np.arange(n)
     rng = np.random.RandomState(seed)
-    if stratify_splitting:
-        sig = []
-        for s in dataset:
-            vals, counts = np.unique(np.round(s.x[:, 0]).astype(int), return_counts=True)
-            sig.append(hash(tuple(zip(vals.tolist(), counts.tolist()))))
-        order = np.argsort(np.asarray(sig), kind="stable")
-        # round-robin assignment preserves composition balance across splits
-        idx = order
-    else:
-        rng.shuffle(idx)
+    rng.shuffle(idx)
     perc_val = (1.0 - perc_train) / 2.0
     n_train = int(round(n * perc_train))
     n_val = int(round(n * perc_val))
-    if stratify_splitting:
-        # deal like cards: every k-th goes to val/test so each composition
-        # bucket contributes to all splits
-        assign = np.zeros(n, np.int8)
-        stride = max(int(round(1 / max(1 - perc_train, 1e-9))), 2)
-        val_turn = True
-        j = 0
-        for i in range(n):
-            if (i % stride) == stride - 1 and j < (n - n_train):
-                assign[idx[i]] = 1 if val_turn else 2
-                val_turn = not val_turn
-                j += 1
-        train_idx = idx[assign[idx] == 0]
-        val_idx = idx[assign[idx] == 1]
-        test_idx = idx[assign[idx] == 2]
-    else:
-        train_idx = idx[:n_train]
-        val_idx = idx[n_train : n_train + n_val]
-        test_idx = idx[n_train + n_val :]
+    train_idx = idx[:n_train]
+    val_idx = idx[n_train : n_train + n_val]
+    test_idx = idx[n_train + n_val :]
     ds = list(dataset)
     return (
         [ds[i] for i in train_idx],

@@ -212,7 +212,8 @@ class DIMEStack(HydraBase):
         pos_kj = edge_vec[trip.idx_kj]
         pos_ki = pos_kj + pos_ji
         a = jnp.sum(pos_ji * pos_ki, axis=-1)
-        b = jnp.linalg.norm(jnp.cross(pos_ji, pos_ki), axis=-1)
+        cr = jnp.cross(pos_ji, pos_ki)
+        b = jnp.sqrt(jnp.sum(cr * cr, axis=-1) + 1e-24)
         angle = jnp.arctan2(b, a)
 
         d = edge_dist[:, 0]

@@ -68,6 +68,10 @@ def masked_loss_function_selection(name: str):
         w = w.astype(err.dtype)
         if err.ndim > w.ndim:
             w = w.reshape(w.shape + (1,) * (err.ndim - w.ndim))
+        # NaN-safe: masked entries may hold NaN/inf from padding-slot math
+        # (e.g. force gradients at zero-length padding edges); NaN * 0 = NaN,
+        # so select before weighting
+        err = jnp.where(w > 0, err, 0.0)
         denom = jnp.maximum(jnp.sum(w) * (err.size / w.size), 1.0)
         return jnp.sum(err * w) / denom
 

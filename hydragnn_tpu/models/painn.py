@@ -78,7 +78,9 @@ class PainnUpdate(nn.Module):
         ns = self.node_size
         Uv = nn.Dense(ns, name="update_U")(v_feat)
         Vv = nn.Dense(ns, name="update_V")(v_feat)
-        Vv_norm = jnp.linalg.norm(Vv, axis=1)
+        # zero-safe norm: v starts at exactly 0 and linalg.norm has a 0/0
+        # gradient there
+        Vv_norm = jnp.sqrt(jnp.sum(Vv * Vv, axis=1) + 1e-24)
         h = jnp.concatenate([Vv_norm, s_feat], axis=1)
         h = nn.Dense(ns, name="update_mlp_0")(h)
         h = jax.nn.silu(h)

@@ -15,11 +15,17 @@ def get_edge_vectors_and_lengths(
     normalize: bool = False,
     eps: float = 1e-9,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """vectors = pos[recv] - pos[send] + shifts; lengths [E, 1]."""
+    """vectors = pos[recv] - pos[send] + shifts; lengths [E, 1].
+
+    Zero-safe norm: padding edges connect identical endpoints (vec = 0) and
+    a plain ``linalg.norm`` there has a 0/0 gradient that poisons force
+    training; sqrt(|v|^2 + tiny) has gradient exactly 0 at v = 0."""
     vectors = positions[receivers] - positions[senders]
     if shifts is not None:
         vectors = vectors + shifts
-    lengths = jnp.linalg.norm(vectors, axis=-1, keepdims=True)
+    lengths = jnp.sqrt(
+        jnp.sum(vectors * vectors, axis=-1, keepdims=True) + 1e-24
+    )
     if normalize:
         return vectors / (lengths + eps), lengths
     return vectors, lengths

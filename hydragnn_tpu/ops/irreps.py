@@ -186,7 +186,7 @@ def spherical_harmonics(
 ) -> jnp.ndarray:
     """jnp real SH (component normalization), same order as real_sph_harm_np."""
     if normalize:
-        n = jnp.linalg.norm(vecs, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.sum(vecs * vecs, axis=-1, keepdims=True) + 1e-24)
         vecs = vecs / jnp.maximum(n, eps)
     x, y, z = vecs[..., 0], vecs[..., 1], vecs[..., 2]
     r_xy = jnp.sqrt(jnp.maximum(x * x + y * y, 0.0))

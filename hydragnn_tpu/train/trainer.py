@@ -277,8 +277,19 @@ def train_validate_test(
     best_val = float("inf")
     best_state = None
 
+    # tensorboard (ref: train_validate_test.py:198-205); rank-0, optional
+    writer = None
+    if checkpoint_dir and jax.process_index() == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(log_dir=checkpoint_dir)
+        except ImportError:
+            writer = None
+
     history = {"train_loss": [], "val_loss": [], "train_tasks": [], "val_tasks": []}
     for epoch in range(num_epoch):
+        epoch_t0 = time.perf_counter()
         tr.start("train")
         train_loader.set_epoch(epoch)
         state, train_loss, _ = train_epoch(train_loader, state, train_step, rng)
@@ -291,6 +302,11 @@ def train_validate_test(
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)
         history["val_tasks"].append(val_tasks)
+        if writer is not None:
+            writer.add_scalar("train/total_loss", train_loss, epoch)
+            writer.add_scalar("val/total_loss", val_loss, epoch)
+            for ih, tl in enumerate(val_tasks):
+                writer.add_scalar(f"val/task_{ih}", tl, epoch)
 
         new_lr = scheduler.step(val_loss, state.learning_rate)
         if new_lr != state.learning_rate:
@@ -312,7 +328,14 @@ def train_validate_test(
             )
         if early is not None and early(val_loss):
             break
+        # walltime guard (ref: train_validate_test.py:257-264)
+        from hydragnn_tpu.utils.walltime import check_remaining
 
+        if not check_remaining(time.perf_counter() - epoch_t0):
+            break
+
+    if writer is not None:
+        writer.close()
     if best_state is not None and bool(training.get("Checkpoint", False)):
         state = best_state
     test_loss, test_tasks, test_rmse, test_mae = evaluate(

@@ -1,0 +1,45 @@
+"""Example smoke tests (ref: tests/test_examples.py:18-80) — run in-process
+(the axon sitecustomize pins subprocesses to the TPU backend, so examples are
+imported and driven with reduced sizes under the CPU-forced conftest)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def test_qm9_example_runs(monkeypatch):
+    sys.path.insert(0, os.path.join(EXAMPLES, "qm9"))
+    import qm9
+
+    monkeypatch.setattr(
+        sys, "argv", ["qm9.py", "--num_epoch", "4", "--max_samples", "80"]
+    )
+    results = qm9.main()
+    assert np.isfinite(results["test_rmse"][0])
+
+
+def test_multibranch_example_runs(monkeypatch):
+    sys.path.insert(0, os.path.join(EXAMPLES, "multibranch"))
+    import train as mb_train
+
+    monkeypatch.setattr(
+        sys, "argv", ["train.py", "--num_epoch", "3", "--batch_size", "16"]
+    )
+    mb_train.main()
+
+
+def test_lj_example_runs(monkeypatch):
+    sys.path.insert(0, os.path.join(EXAMPLES, "LennardJones"))
+    import lennard_jones
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["lennard_jones.py", "--num_epoch", "2", "--n_configs", "24",
+         "--hidden_dim", "16"],
+    )
+    state, results = lennard_jones.main()
+    assert np.isfinite(results["history"]["val_loss"][-1])
