@@ -107,26 +107,25 @@ def _csr_kernel(
         for d in get_dma(slot, t):
             d.wait()
 
+        msgs_tile = msg_scratch[slot]  # [T, F]
+        # split messages into bf16 mantissa chunks once per tile (one-hot is
+        # exact in bf16, so k chunks recover k*8 mantissa bits of fp32)
+        if fp32_in and passes > 1:
+            terms = []
+            rem = msgs_tile
+            for _ in range(passes):
+                t_ = rem.astype(jnp.bfloat16)
+                rem = rem - t_.astype(jnp.float32)
+                terms.append(t_)
+        else:
+            terms = [msgs_tile.astype(jnp.bfloat16)]
         for si in range(sub):
             recv_row = recv_scratch[slot, si : si + 1, :]  # (1, 128)
             onehot_t = (rowids == recv_row).astype(jnp.bfloat16)  # [R, 128]
-            msgs = msg_scratch[slot, si * LANES : (si + 1) * LANES, :]
-            if fp32_in and passes > 1:
-                # split msgs into bf16 mantissa chunks; one-hot is exact
-                rem = msgs
-                for _ in range(passes):
-                    term = rem.astype(jnp.bfloat16)
-                    rem = rem - term.astype(jnp.float32)
-                    acc = acc + jax.lax.dot_general(
-                        onehot_t,
-                        term,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-            else:
+            for term in terms:
                 acc = acc + jax.lax.dot_general(
                     onehot_t,
-                    msgs.astype(jnp.bfloat16),
+                    term[si * LANES : (si + 1) * LANES, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )

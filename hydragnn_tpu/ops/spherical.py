@@ -61,8 +61,12 @@ def spherical_bessel_zeros(num_spherical: int, num_radial: int) -> np.ndarray:
 
 
 def _spherical_jn_jnp(l_max: int, x: jnp.ndarray) -> jnp.ndarray:
-    """j_l(x) for l = 0..l_max, stacked on the last axis. x > 0 assumed."""
-    x = jnp.maximum(x, 1e-12)
+    """j_l(x) for l = 0..l_max, stacked on the last axis. x > 0 assumed.
+
+    x is clamped to >= 1e-2: the upward recurrence's (2n+1)/x factor
+    overflows fp32 near x ~ 1e-12 (padding edges have zero length); j_l(1e-2)
+    is ~x^l/(2l+1)!! ~ 0, and physical edges sit far above the clamp."""
+    x = jnp.maximum(x, 1e-2)
     j0 = jnp.sin(x) / x
     outs = [j0]
     if l_max >= 1:
