@@ -17,10 +17,17 @@ import jax.numpy as jnp
 def gaussian_smearing(
     dist: jnp.ndarray, start: float, stop: float, num_gaussians: int
 ) -> jnp.ndarray:
-    """[E] -> [E, num_gaussians] (PyG GaussianSmearing)."""
-    offset = jnp.linspace(start, stop, num_gaussians)
-    coeff = -0.5 / float((offset[1] - offset[0]) ** 2) if num_gaussians > 1 else -0.5
-    d = dist[:, None] - offset[None, :]
+    """[E] -> [E, num_gaussians] (PyG GaussianSmearing). Offsets are numpy
+    (static under jit tracing)."""
+    import numpy as np
+
+    offset = np.linspace(start, stop, num_gaussians)
+    coeff = (
+        -0.5 / float((offset[1] - offset[0]) ** 2)
+        if num_gaussians > 1
+        else -0.5
+    )
+    d = dist[:, None] - jnp.asarray(offset, dist.dtype)[None, :]
     return jnp.exp(coeff * d ** 2)
 
 
