@@ -119,7 +119,15 @@ def load_lsms_dataset(config: Dict[str, Any], path: str) -> List[GraphSample]:
         xs.append(x)
         poss.append(pos)
         ys.append(y)
-    minmax_normalize(xs, ys, node_dims, graph_dims)
+    node_minmax, graph_minmax = minmax_normalize(xs, ys, node_dims, graph_dims)
+    # per-head minmax for denormalize_output (ref: update_config_minmax,
+    # config_utils.py:289-311)
+    y_minmax = []
+    for t, idx in zip(var["type"], var.get("output_index",
+                                           range(len(var["type"])))):
+        mm = graph_minmax if t == "graph" else node_minmax
+        y_minmax.append([float(mm[0, idx]), float(mm[1, idx])])
+    var["y_minmax"] = y_minmax
 
     radius = float(arch.get("radius", 2.0) or 2.0)
     max_nb = int(arch.get("max_neighbours", 100) or 100)

@@ -51,18 +51,26 @@ class GraphSharedHead(nn.Module):
 
 
 class GraphHeadMLP(nn.Module):
-    """Per-head MLP after the shared layers (ref: Base.py:378-392)."""
+    """Per-head MLP after the shared layers (ref: Base.py:378-392).
+    ``initial_bias`` fills the final layer's bias (UQ option,
+    ref: Base._set_bias:253-258)."""
 
     branch: BranchConfig
     out_dim: int
     activation: str
+    initial_bias: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = activation_function_selection(self.activation)
         dims = list(self.branch.dim_headlayers[: self.branch.num_headlayers])
         x = MLP(dims, activation=act, activate_final=True)(x)
-        return nn.Dense(self.out_dim)(x)
+        bias_init = (
+            nn.initializers.constant(self.initial_bias)
+            if self.initial_bias is not None
+            else nn.initializers.zeros
+        )
+        return nn.Dense(self.out_dim, bias_init=bias_init)(x)
 
 
 class MLPNode(nn.Module):
@@ -208,6 +216,7 @@ class HydraBase(nn.Module):
                 for b in cfg.graph_branches:
                     head_by_branch[b.type] = GraphHeadMLP(
                         b, out_dim, cfg.activation,
+                        initial_bias=cfg.initial_bias,
                         name=f"head_{ihead}_{b.type}",
                     )
             else:

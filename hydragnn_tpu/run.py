@@ -113,4 +113,28 @@ def run_prediction(
             batch_size=config["NeuralNetwork"]["Training"]["batch_size"],
         )
     eval_step = make_eval_step(model, cfg)
-    return evaluate(test_loader, state, eval_step, cfg)
+    metrics = evaluate(test_loader, state, eval_step, cfg)
+    var = config["NeuralNetwork"]["Variables_of_interest"]
+    if var.get("denormalize_output") and var.get("y_minmax"):
+        # collect + denormalize predictions (ref: run_prediction.py:85-107)
+        from hydragnn_tpu.models.losses import head_masks, head_targets
+        from hydragnn_tpu.postprocess.postprocess import output_denormalize
+        import numpy as np
+
+        trues = [[] for _ in range(cfg.num_heads)]
+        preds = [[] for _ in range(cfg.num_heads)]
+        for batch in test_loader:
+            _, _, pred = eval_step(state, batch)
+            if cfg.var_output:
+                pred = pred[0]
+            ts = head_targets(cfg, batch)
+            ms = head_masks(cfg, batch)
+            for ih in range(cfg.num_heads):
+                m = np.asarray(ms[ih])
+                trues[ih].append(np.asarray(ts[ih])[m])
+                preds[ih].append(np.asarray(pred[ih])[m])
+        trues = [np.concatenate(t) for t in trues]
+        preds = [np.concatenate(p) for p in preds]
+        trues, preds = output_denormalize(var["y_minmax"], trues, preds)
+        return metrics, trues, preds
+    return metrics

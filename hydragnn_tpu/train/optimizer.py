@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import optax
 
 
@@ -47,6 +48,29 @@ def select_optimizer(training_config: Dict[str, Any]) -> optax.GradientTransform
         }[name](learning_rate)
 
     return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def freeze_conv_params(
+    optimizer: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Zero updates for encoder conv/norm parameters — the reference's
+    freeze_conv option (ref: hydragnn/models/Base.py:247-251
+    requires_grad=False). Param subtrees named conv_*/norm_*/gps_* are
+    frozen; decoders/heads stay trainable."""
+
+    def mask_fn(params):
+        def label(path, leaf):
+            top = path[0].key if path else ""
+            frozen = any(
+                str(top).startswith(p) for p in ("conv_", "norm_", "gps_")
+            )
+            return "frozen" if frozen else "trainable"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"trainable": optimizer, "frozen": optax.set_to_zero()}, mask_fn
+    )
 
 
 class ReduceLROnPlateau:

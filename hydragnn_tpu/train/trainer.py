@@ -172,9 +172,11 @@ def _epoch_mean(vals: List[float]) -> float:
     return float(np.mean(vals)) if vals else float("nan")
 
 
-def train_epoch(loader, state, train_step, rng):
+def train_epoch(loader, state, train_step, rng, max_batches=None):
     losses, task_losses = [], []
-    for batch in loader:
+    for ib, batch in enumerate(loader):
+        if max_batches is not None and ib >= max_batches:
+            break
         state, loss, tasks = train_step(state, batch, rng)
         losses.append(float(loss))
         task_losses.append([float(t) for t in tasks])
@@ -253,11 +255,22 @@ def train_validate_test(
     """ref: train_validate_test.py:52-264 epoch loop (sampler.set_epoch,
     scheduler.step(val_loss), Checkpoint best-val with warmup, EarlyStopping,
     walltime guard hook)."""
+    import os as _os
+
     training = config["NeuralNetwork"]["Training"]
     num_epoch = int(training["num_epoch"])
     compute_grad_energy = bool(training.get("compute_grad_energy", False))
 
     optimizer = select_optimizer(training)
+    if cfg.freeze_conv:
+        from hydragnn_tpu.train.optimizer import freeze_conv_params
+
+        optimizer = freeze_conv_params(optimizer)
+    # HYDRAGNN_VALTEST=0 skips val/test (throughput campaigns,
+    # ref: run-scripts/SC25-job-weak.sh:37); HYDRAGNN_MAX_NUM_BATCH caps
+    # batches per epoch (ref: train_validate_test.py get_nbatch:39)
+    do_valtest = _os.getenv("HYDRAGNN_VALTEST", "1") != "0"
+    max_batches = int(_os.getenv("HYDRAGNN_MAX_NUM_BATCH", "0")) or None
     rng = jax.random.PRNGKey(0) if rng is None else rng
     if state is None:
         sample = next(iter(train_loader))
@@ -292,12 +305,17 @@ def train_validate_test(
         epoch_t0 = time.perf_counter()
         tr.start("train")
         train_loader.set_epoch(epoch)
-        state, train_loss, _ = train_epoch(train_loader, state, train_step, rng)
+        state, train_loss, _ = train_epoch(
+            train_loader, state, train_step, rng, max_batches
+        )
         tr.stop("train")
         tr.start("validate")
-        val_loss, val_tasks, _, _ = evaluate(
-            val_loader, state, eval_step, cfg, compute_grad_energy
-        )
+        if do_valtest:
+            val_loss, val_tasks, _, _ = evaluate(
+                val_loader, state, eval_step, cfg, compute_grad_energy
+            )
+        else:
+            val_loss, val_tasks = train_loss, []
         tr.stop("validate")
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)
