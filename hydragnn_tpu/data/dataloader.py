@@ -107,11 +107,57 @@ class GraphLoader:
             )
 
 
+class PrefetchLoader:
+    """Background-thread batch prefetch (depth-2 queue) — the counterpart of
+    the reference's threaded HydraDataLoader (ref: preprocess/load_data.py:
+    93-203 thread pool + CPU-affinity pinning). Host-side collate (tens of ms
+    per batch) overlaps with device compute; JAX device puts are thread-safe.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    @property
+    def dataset(self):
+        return self.loader.dataset
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()
+
+
 def create_dataloaders(
     trainset: Sequence[GraphSample],
     valset: Sequence[GraphSample],
     testset: Sequence[GraphSample],
     batch_size: int,
+    prefetch: bool = True,
     **kwargs,
 ) -> Tuple[GraphLoader, GraphLoader, GraphLoader]:
     """ref: preprocess/load_data.py:225-326 (train shuffles, val/test don't).
@@ -132,4 +178,10 @@ def create_dataloaders(
         ld.n_node_pad = probe.n_node_pad
         ld.n_edge_pad = probe.n_edge_pad
         ld.n_graph_pad = probe.n_graph_pad
+    if prefetch:
+        return (
+            PrefetchLoader(train_loader),
+            PrefetchLoader(val_loader),
+            PrefetchLoader(test_loader),
+        )
     return train_loader, val_loader, test_loader
