@@ -38,11 +38,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# defaults tuned on v5e (see /tmp sweep; FLOPs scale linearly with ROW_BLOCK)
-ROW_BLOCK = 64
-EDGE_TILE = 512
+# defaults tuned on v5e (sweep: R=256/T=1024 best — the kernel is DMA-latency
+# bound, larger blocks amortize tile DMAs; FLOPs scale with ROW_BLOCK)
+ROW_BLOCK = 256
+EDGE_TILE = 1024
 LANES = 128
 PASSES = 3  # bf16 split terms for the message operand (3 = exact fp32)
+NBUF = 4  # DMA pipeline depth
 
 
 def _csr_kernel(
@@ -84,10 +86,12 @@ def _csr_kernel(
             ),
         )
 
-    @pl.when(t1 > t0)
-    def _():
-        for d in get_dma(0, t0):
-            d.start()
+    # warm the pipeline NBUF-1 tiles deep (DMA latency is the bottleneck)
+    for k in range(NBUF - 1):
+        @pl.when(t0 + k < t1)
+        def _(k=k):
+            for d in get_dma(k, t0 + k):
+                d.start()
 
     rowids = jax.lax.broadcasted_iota(
         jnp.int32, (row_block, LANES), 0
@@ -96,12 +100,12 @@ def _csr_kernel(
     fp32_in = msgs_ref.dtype == jnp.float32
 
     def body(t, acc):
-        slot = jax.lax.rem(t - t0, 2)
-        nxt = jax.lax.rem(t - t0 + 1, 2)
+        slot = jax.lax.rem(t - t0, NBUF)
+        nxt = jax.lax.rem(t - t0 + NBUF - 1, NBUF)
 
-        @pl.when(t + 1 < t1)
+        @pl.when(t + NBUF - 1 < t1)
         def _():
-            for d in get_dma(nxt, t + 1):
+            for d in get_dma(nxt, t + NBUF - 1):
                 d.start()
 
         for d in get_dma(slot, t):
@@ -188,9 +192,9 @@ def _segment_sum_csr_impl(
             (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, edge_tile, F), msgs.dtype),
-            pltpu.VMEM((2, edge_tile // LANES, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, edge_tile, F), msgs.dtype),
+            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
 

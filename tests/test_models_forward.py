@@ -154,6 +154,26 @@ def test_gps_forward():
     assert np.all(np.isfinite(np.asarray(out[0])))
 
 
+def test_gps_performer_forward():
+    cfg = make_cfg(
+        "GIN",
+        global_attn_engine="GPS",
+        global_attn_type="performer",
+        global_attn_heads=2,
+        pe_dim=2,
+    )
+    model = create_model(cfg)
+    rng = np.random.RandomState(0)
+    batch = make_batch()
+    batch = batch.replace(
+        pe=jnp.asarray(rng.randn(batch.num_nodes, 2).astype(np.float32)),
+        rel_pe=jnp.asarray(rng.randn(batch.num_edges, 2).astype(np.float32)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+
+
 def test_padding_invariance():
     """Outputs on real graphs must not depend on padding amount."""
     rng = np.random.RandomState(5)
