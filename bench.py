@@ -60,20 +60,18 @@ def main():
     iters = 10
 
     @jax.jit
-    def chained(x0):
-        def body(i, acc):
-            # gather input depends on acc so neither the gather nor the
-            # reduction can be hoisted out of the loop
-            msgs = (xd + acc * 1e-9)[sd]
-            return acc * 0.5 + segment_sum_auto(msgs, rd, N)
+    def spmm(x):
+        return segment_sum_auto(x[sd], rd, N)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.zeros((N, F), jnp.float32))
-
-    out = chained(xd)
+    # alternating input buffers defeat the remote-tunnel result cache while
+    # keeping the compiled module small (a chained fori_loop measures the
+    # same within noise but takes ~5x longer to compile remotely)
+    x2 = xd * np.float32(1.0000001)
+    out = spmm(xd)
     out.block_until_ready()
     t0 = time.perf_counter()
-    out = chained(xd)
-    out.block_until_ready()
+    outs = [spmm(xd if i % 2 else x2) for i in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = E / dt

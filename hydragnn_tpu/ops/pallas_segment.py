@@ -123,16 +123,24 @@ def _csr_kernel(
                 terms.append(t_)
         else:
             terms = [msgs_tile.astype(jnp.bfloat16)]
-        for si in range(sub):
-            recv_row = recv_scratch[slot, si : si + 1, :]  # (1, 128)
-            onehot_t = (rowids == recv_row).astype(jnp.bfloat16)  # [R, 128]
-            for term in terms:
-                acc = acc + jax.lax.dot_general(
-                    onehot_t,
-                    term[si * LANES : (si + 1) * LANES, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        # one [R, T] one-hot (lane-concat of per-subrow compares) -> a single
+        # K=T matmul per pass instead of `sub` small ones
+        onehot_t = jnp.concatenate(
+            [
+                (rowids == recv_scratch[slot, si : si + 1, :]).astype(
+                    jnp.bfloat16
                 )
+                for si in range(sub)
+            ],
+            axis=1,
+        )  # [R, T]
+        for term in terms:
+            acc = acc + jax.lax.dot_general(
+                onehot_t,
+                term,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return acc
 
     acc = jnp.zeros((row_block, out_ref.shape[1]), jnp.float32)
