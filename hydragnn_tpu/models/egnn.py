@@ -18,7 +18,7 @@ import flax.linen as nn
 from hydragnn_tpu.graph import GraphBatch
 from hydragnn_tpu.models.base import HydraBase
 from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
-from hydragnn_tpu.ops.segment import segment_sum, segment_mean
+from hydragnn_tpu.ops.segment import segment_mean, segment_sum, segment_sum_via_perm
 
 
 class E_GCL(nn.Module):
@@ -61,8 +61,9 @@ class E_GCL(nn.Module):
             )
             equiv = equiv + agg
 
-        # aggregate messages into SOURCE nodes (ref: E_GCL.node_model row-aggr)
-        agg = segment_sum(m, s, N, indices_are_sorted=False)
+        # aggregate messages into SOURCE nodes (ref: E_GCL.node_model row-aggr);
+        # sender-sorted permutation unlocks the Pallas sorted kernel
+        agg = segment_sum_via_perm(m, s, N, batch.edge_perm_by_sender)
         h = jnp.concatenate([inv, agg], axis=-1)
         h = jax.nn.relu(nn.Dense(self.hidden_dim, name="node_mlp_0")(h))
         h = nn.Dense(self.out_dim, name="node_mlp_1")(h)

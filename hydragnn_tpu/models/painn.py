@@ -22,7 +22,7 @@ from hydragnn_tpu.graph import GraphBatch
 from hydragnn_tpu.models.base import HydraBase
 from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
 from hydragnn_tpu.ops.radial import cosine_cutoff, sinc_expansion
-from hydragnn_tpu.ops.segment import segment_sum
+from hydragnn_tpu.ops.segment import segment_sum, segment_sum_via_perm
 
 
 class PainnMessage(nn.Module):
@@ -64,8 +64,9 @@ class PainnMessage(nn.Module):
         msg_s = msg_s * em[:, None].astype(msg_s.dtype)
         msg_v = msg_v * em[:, None, None].astype(msg_v.dtype)
         N = s_feat.shape[0]
-        res_s = segment_sum(msg_s, dst_scatter, N, indices_are_sorted=False)
-        res_v = segment_sum(msg_v, dst_scatter, N, indices_are_sorted=False)
+        perm = batch.edge_perm_by_sender
+        res_s = segment_sum_via_perm(msg_s, dst_scatter, N, perm)
+        res_v = segment_sum_via_perm(msg_v, dst_scatter, N, perm)
         return s_feat + res_s, v_feat + res_v
 
 

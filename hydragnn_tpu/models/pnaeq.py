@@ -28,6 +28,7 @@ from hydragnn_tpu.ops.segment import (
     segment_min,
     segment_std,
     segment_sum,
+    segment_sum_via_perm,
 )
 
 
@@ -90,7 +91,7 @@ class PNAEqMessage(nn.Module):
         out = jnp.concatenate([x, out], axis=-1)
         delta_x = nn.Dense(F_in, name="post_nn")(out)
 
-        delta_v = segment_sum(msg_v, src, N, indices_are_sorted=False)
+        delta_v = segment_sum_via_perm(msg_v, src, N, batch.edge_perm_by_sender)
         return x + delta_x, v + delta_v
 
 

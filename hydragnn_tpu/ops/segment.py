@@ -148,6 +148,24 @@ def segment_softmax(
     return unnorm / denom[segment_ids]
 
 
+def segment_sum_via_perm(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    perm: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Unsorted segment sum re-sorted through a host-precomputed permutation
+    (GraphBatch.edge_perm_by_sender) so the Pallas sorted-CSR kernel applies —
+    used by stacks that aggregate into SENDER nodes (EGNN/PAINN/PNAEq)."""
+    if perm is None:
+        return jax.ops.segment_sum(
+            data, segment_ids, num_segments, indices_are_sorted=False
+        )
+    return segment_sum(
+        data[perm], segment_ids[perm], num_segments, indices_are_sorted=True
+    )
+
+
 def masked_segment_mean(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,
