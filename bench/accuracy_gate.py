@@ -82,6 +82,14 @@ def main():
             arch.setdefault("num_spherical", 7)
             arch.setdefault("num_gaussians", 50)
             arch.setdefault("num_filters", 32)
+            arch.setdefault("envelope_exponent", 5)
+        if mpnn_type == "DimeNet":
+            arch.setdefault("basis_emb_size", 8)
+            arch.setdefault("int_emb_size", 64)
+            arch.setdefault("out_emb_size", 128)
+            arch.setdefault("num_before_skip", 1)
+            arch.setdefault("num_after_skip", 2)
+            arch["max_neighbours"] = 16  # static triplet slot cap
         if mpnn_type == "MACE":
             arch["max_ell"] = 1
             arch["node_max_ell"] = 1
