@@ -162,6 +162,9 @@ def segment_sum_csr(msgs: jnp.ndarray, receivers: jnp.ndarray, num_nodes: int):
     return _segment_sum_csr_impl(msgs, receivers, num_nodes)
 
 
+F_CHUNK = 256  # max feature width per pallas call (bounds VMEM scratch)
+
+
 def _segment_sum_csr_impl(
     msgs,
     receivers,
@@ -171,6 +174,16 @@ def _segment_sum_csr_impl(
     passes: int = PASSES,
 ):
     E, F = msgs.shape
+    if F > F_CHUNK:
+        # chunk the feature dim: VMEM scratch is NBUF*edge_tile*F bytes
+        parts = [
+            _segment_sum_csr_impl(
+                msgs[:, i : i + F_CHUNK], receivers, num_nodes,
+                row_block, edge_tile, passes,
+            )
+            for i in range(0, F, F_CHUNK)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     N_pad = _round_up(num_nodes, row_block)
     E_pad = _round_up(E, edge_tile)
     num_blocks = N_pad // row_block
