@@ -345,6 +345,26 @@ class MaceConv(nn.Module):
         return out
 
 
+class MaceConvSplit(nn.Module):
+    """Adapts MaceConv to the (inv, equiv) conv interface so the GPS wrapper
+    applies (ref: MACEStack uses _apply_global_attn around each conv;
+    CombineBlock/SplitBlock, MACEStack.get_conv:300-364)."""
+
+    conv: MaceConv
+    n_scalar: int
+
+    @nn.compact
+    def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        node_feats = (
+            jnp.concatenate([inv, equiv], axis=-1) if equiv.shape[-1] else inv
+        )
+        h = self.conv(
+            node_feats, batch, ctx["edge_attrs"], ctx["edge_feats"],
+            ctx["node_onehot"],
+        )
+        return h[:, : self.n_scalar], h[:, self.n_scalar :]
+
+
 def process_node_attributes(x: jnp.ndarray, num_elements: int = NUM_ELEMENTS):
     """Atomic numbers -> one-hot (ref: MACEStack.process_node_attributes:483)."""
     z = jnp.clip(jnp.round(x[:, 0]).astype(jnp.int32), 1, num_elements)
@@ -369,6 +389,9 @@ class MACEStack(HydraBase):
             Irreps.scalars(NUM_ELEMENTS), Irreps.scalars(cfg.hidden_dim),
             name="node_embedding",
         )
+        if cfg.use_global_attn:
+            self.pos_emb = nn.Dense(cfg.hidden_dim, use_bias=False)
+            self.node_lin = nn.Dense(cfg.hidden_dim, use_bias=False)
         if self.use_edge_attr:
             self.edge_attrs_irreps = (
                 Irreps.scalars(cfg.edge_dim) + self.sh_irreps
@@ -392,19 +415,32 @@ class MACEStack(HydraBase):
             hidden = (
                 Irreps.scalars(cfg.hidden_dim) if last else self.hidden_irreps
             )
-            convs.append(
-                MaceConv(
-                    node_feats_irreps=in_irreps,
-                    edge_attrs_irreps=self.edge_attrs_irreps,
-                    num_edge_feats=cfg.num_radial,
-                    interaction_irreps=self.interaction_irreps,
-                    hidden_irreps=hidden,
-                    output_irreps=hidden,
-                    avg_num_neighbors=float(cfg.avg_num_neighbors or 1.0),
-                    correlation=int(self.correlations[i]),
-                    name=f"conv_{i}",
-                )
+            mace_conv = MaceConv(
+                node_feats_irreps=in_irreps,
+                edge_attrs_irreps=self.edge_attrs_irreps,
+                num_edge_feats=cfg.num_radial,
+                interaction_irreps=self.interaction_irreps,
+                hidden_irreps=hidden,
+                output_irreps=hidden,
+                avg_num_neighbors=float(cfg.avg_num_neighbors or 1.0),
+                correlation=int(self.correlations[i]),
+                name=f"conv_{i}",
             )
+            conv = MaceConvSplit(
+                mace_conv, hidden.count_l(0), name=f"convsplit_{i}"
+            )
+            if cfg.use_global_attn and cfg.global_attn_engine == "GPS":
+                from hydragnn_tpu.models.gps import GPSConv
+
+                conv = GPSConv(
+                    channels=hidden.count_l(0),
+                    conv=conv,
+                    heads=cfg.global_attn_heads,
+                    dropout=cfg.dropout,
+                    attn_type=cfg.global_attn_type or "multihead",
+                    name=f"gps_{i}",
+                )
+            convs.append(conv)
             decoders.append(
                 MultiheadDecoderBlock(
                     hidden, cfg, nonlinear=last, name=f"decoder_{i + 1}",
@@ -448,12 +484,22 @@ class MACEStack(HydraBase):
 
         outputs = self.multihead_decoders[0](node_onehot, batch)
         h = self.node_embedding(node_onehot)
+        # GPS path: blend positional encodings into the scalar features
+        # (ref: MACEStack._embedding:449-470)
+        if cfg.use_global_attn and batch.pe is not None:
+            pe = self.pos_emb(batch.pe)
+            h = self.node_lin(jnp.concatenate([h, pe], axis=-1))
+        ctx = {
+            "edge_attrs": edge_attrs,
+            "edge_feats": edge_feats,
+            "node_onehot": node_onehot,
+        }
+        inv, equiv = h, jnp.zeros((h.shape[0], 0), h.dtype)
         for i, (conv, dec) in enumerate(
             zip(self.graph_convs, self.multihead_decoders[1:])
         ):
-            # rebuild conv with actual edge_attrs irreps if edge attrs present
-            h = conv(h, batch, edge_attrs, edge_feats, node_onehot)
-            out = dec(h, batch)
+            inv, equiv = conv(inv, equiv, batch, ctx, train=train)
+            out = dec(jnp.concatenate([inv, equiv], axis=-1), batch)
             outputs = [o + p for o, p in zip(outputs, out)]
         if cfg.var_output:
             # GaussianNLL var path not defined for MACE in the reference either
