@@ -193,41 +193,61 @@ def collate(
         else None
     )
 
-    n_off = 0
-    e_off = 0
-    for g, s in enumerate(samples):
-        n, e = s.num_nodes, s.num_edges
-        x[n_off : n_off + n] = np.atleast_2d(s.x.reshape(n, -1))
-        pos[n_off : n_off + n] = s.pos
-        senders[e_off : e_off + e] = s.edge_index[0] + n_off
-        receivers[e_off : e_off + e] = s.edge_index[1] + n_off
-        node_graph_idx[n_off : n_off + n] = g
-        node_mask[n_off : n_off + n] = True
-        edge_mask[e_off : e_off + e] = True
-        graph_mask[g] = True
-        n_node[g] = n
-        dataset_id[g] = s.dataset_id
-        if s.edge_shifts is not None:
-            edge_shifts[e_off : e_off + e] = s.edge_shifts
-        if edge_attr is not None:
-            edge_attr[e_off : e_off + e] = np.atleast_2d(s.edge_attr.reshape(e, -1))
-        if graph_y is not None:
-            graph_y[g] = np.atleast_1d(s.y_graph).ravel()
-        if node_y is not None:
-            node_y[n_off : n_off + n] = np.atleast_2d(s.y_node.reshape(n, -1))
-        if energy is not None:
-            energy[g] = float(np.asarray(s.energy).ravel()[0])
-        if forces is not None:
-            forces[n_off : n_off + n] = s.forces
-        if pe is not None:
-            pe[n_off : n_off + n] = np.atleast_2d(s.pe.reshape(n, -1))
-        if rel_pe is not None:
-            rel_pe[e_off : e_off + e] = np.atleast_2d(s.rel_pe.reshape(e, -1))
-        n_off += n
-        e_off += e
+    # vectorized assembly: one concatenate per field + tail padding (the
+    # per-sample python loop + 130 separate device_puts dominated collate)
+    n_sizes = np.array([s.num_nodes for s in samples])
+    e_sizes = np.array([s.num_edges for s in samples])
+    n_offsets = np.concatenate([[0], np.cumsum(n_sizes)])
+
+    x[:tot_n] = np.concatenate(
+        [np.atleast_2d(s.x.reshape(s.num_nodes, -1)) for s in samples]
+    )
+    pos[:tot_n] = np.concatenate([s.pos for s in samples])
+    if tot_e:
+        senders[:tot_e] = np.concatenate(
+            [s.edge_index[0] + off for s, off in zip(samples, n_offsets)]
+        )
+        receivers[:tot_e] = np.concatenate(
+            [s.edge_index[1] + off for s, off in zip(samples, n_offsets)]
+        )
+    node_graph_idx[:tot_n] = np.repeat(np.arange(G, dtype=np.int32), n_sizes)
+    node_mask[:tot_n] = True
+    edge_mask[:tot_e] = True
+    graph_mask[:G] = True
+    n_node[:G] = n_sizes
+    dataset_id[:G] = [s.dataset_id for s in samples]
+    if tot_e and samples[0].edge_shifts is not None:
+        edge_shifts[:tot_e] = np.concatenate([s.edge_shifts for s in samples])
+    if edge_attr is not None and tot_e:
+        edge_attr[:tot_e] = np.concatenate(
+            [np.atleast_2d(s.edge_attr.reshape(s.num_edges, -1)) for s in samples]
+        )
+    if graph_y is not None:
+        graph_y[:G] = np.stack(
+            [np.atleast_1d(s.y_graph).ravel() for s in samples]
+        )
+    if node_y is not None:
+        node_y[:tot_n] = np.concatenate(
+            [np.atleast_2d(s.y_node.reshape(s.num_nodes, -1)) for s in samples]
+        )
+    if energy is not None:
+        energy[:G] = [float(np.asarray(s.energy).ravel()[0]) for s in samples]
+    if forces is not None:
+        forces[:tot_n] = np.concatenate([s.forces for s in samples])
+    if pe is not None:
+        pe[:tot_n] = np.concatenate(
+            [np.atleast_2d(s.pe.reshape(s.num_nodes, -1)) for s in samples]
+        )
+    if rel_pe is not None and tot_e:
+        rel_pe[:tot_e] = np.concatenate(
+            [np.atleast_2d(s.rel_pe.reshape(s.num_edges, -1)) for s in samples]
+        )
 
     if sort_edges_by_receiver and tot_e > 0:
-        order = np.argsort(receivers, kind="stable")
+        # padding edges already point at the last node (max receiver), so the
+        # default introsort keeps them at the tail; ties within a receiver
+        # carry no semantics
+        order = np.argsort(receivers)
         senders = senders[order]
         receivers = receivers[order]
         edge_mask = edge_mask[order]
@@ -237,26 +257,33 @@ def collate(
         if rel_pe is not None:
             rel_pe = rel_pe[order]
 
-    perm_by_sender = np.argsort(senders, kind="stable").astype(np.int32)
+    perm_by_sender = np.argsort(senders).astype(np.int32)
 
+    # single batched device_put for all fields (one dispatch, not 14)
+    host = dict(
+        x=x, pos=pos, senders=senders, receivers=receivers,
+        node_graph_idx=node_graph_idx, node_mask=node_mask,
+        edge_mask=edge_mask, graph_mask=graph_mask, n_node=n_node,
+        dataset_id=dataset_id, edge_shifts=edge_shifts,
+        edge_perm_by_sender=perm_by_sender,
+    )
+    for name, arr in (("edge_attr", edge_attr), ("graph_y", graph_y),
+                      ("node_y", node_y), ("energy", energy),
+                      ("forces", forces), ("pe", pe), ("rel_pe", rel_pe)):
+        if arr is not None:
+            host[name] = arr
+    dev = jax.device_put(host)
     return GraphBatch(
-        x=jnp.asarray(x),
-        pos=jnp.asarray(pos),
-        senders=jnp.asarray(senders),
-        receivers=jnp.asarray(receivers),
-        node_graph_idx=jnp.asarray(node_graph_idx),
-        node_mask=jnp.asarray(node_mask),
-        edge_mask=jnp.asarray(edge_mask),
-        graph_mask=jnp.asarray(graph_mask),
-        n_node=jnp.asarray(n_node),
-        dataset_id=jnp.asarray(dataset_id),
-        edge_shifts=jnp.asarray(edge_shifts),
-        edge_attr=None if edge_attr is None else jnp.asarray(edge_attr),
-        graph_y=None if graph_y is None else jnp.asarray(graph_y),
-        node_y=None if node_y is None else jnp.asarray(node_y),
-        energy=None if energy is None else jnp.asarray(energy),
-        forces=None if forces is None else jnp.asarray(forces),
-        pe=None if pe is None else jnp.asarray(pe),
-        rel_pe=None if rel_pe is None else jnp.asarray(rel_pe),
-        edge_perm_by_sender=jnp.asarray(perm_by_sender),
+        edge_attr=dev.get("edge_attr"),
+        graph_y=dev.get("graph_y"),
+        node_y=dev.get("node_y"),
+        energy=dev.get("energy"),
+        forces=dev.get("forces"),
+        pe=dev.get("pe"),
+        rel_pe=dev.get("rel_pe"),
+        **{k: dev[k] for k in (
+            "x", "pos", "senders", "receivers", "node_graph_idx",
+            "node_mask", "edge_mask", "graph_mask", "n_node", "dataset_id",
+            "edge_shifts", "edge_perm_by_sender",
+        )},
     )
