@@ -100,6 +100,18 @@ class GraphBatch:
     def num_graphs(self) -> int:
         return self.graph_mask.shape[0]
 
+    def gather_src(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x[senders] with a sorted-scatter backward (see ops.spmm.gather_nodes)."""
+        from hydragnn_tpu.ops.spmm import gather_nodes
+
+        return gather_nodes(x, self.senders, self.edge_perm_by_sender)
+
+    def gather_dst(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x[receivers]; receivers are collate-sorted, backward is sorted."""
+        from hydragnn_tpu.ops.spmm import gather_nodes
+
+        return gather_nodes(x, self.receivers, None)
+
 
 def _round_up(v: int, multiple: int) -> int:
     return ((v + multiple - 1) // multiple) * multiple

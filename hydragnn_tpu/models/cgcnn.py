@@ -24,7 +24,7 @@ class CGConv(nn.Module):
 
     @nn.compact
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
-        parts = [inv[batch.receivers], inv[batch.senders]]
+        parts = [batch.gather_dst(inv), batch.gather_src(inv)]
         e = ctx.get("edge_attr")
         if self.edge_dim and e is not None:
             parts.append(e)

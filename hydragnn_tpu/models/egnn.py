@@ -36,7 +36,7 @@ class E_GCL(nn.Module):
         diff_hat, radial = get_edge_vectors_and_lengths(
             equiv, s, r, normalize=True, eps=1.0
         )
-        parts = [inv[s], inv[r], radial]
+        parts = [batch.gather_src(inv), batch.gather_dst(inv), radial]
         e_attr = ctx.get("edge_attr")
         if self.edge_dim and e_attr is not None:
             parts.append(e_attr)

@@ -49,7 +49,7 @@ class GATv2Conv(nn.Module):
             nn.Dense(H * C, name="lin_edge") if self.edge_dim else None
         )
         # real-edge logits
-        z = x_l[s] + x_r[r]
+        z = batch.gather_src(x_l) + batch.gather_dst(x_r)
         e_attr = ctx.get("edge_attr")
         if lin_edge is not None and e_attr is not None:
             z = z + lin_edge(e_attr).reshape(-1, H, C)
@@ -79,7 +79,7 @@ class GATv2Conv(nn.Module):
             keep = jax.random.bernoulli(rng_key, 1 - self.dropout, alpha_e.shape)
             alpha_e = alpha_e * keep / (1 - self.dropout)
 
-        out = segment_sum(alpha_e[..., None] * x_l[s], r, N)
+        out = segment_sum(alpha_e[..., None] * batch.gather_src(x_l), r, N)
         out = out + alpha_s[..., None] * x_l
 
         if self.concat:

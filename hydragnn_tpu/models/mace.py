@@ -156,13 +156,16 @@ class InteractionBlock(nn.Module):
             self.node_feats_irreps, self.edge_attrs_irreps, self.target_irreps,
             name="conv_tp",
         )
-        aug = jnp.concatenate([edge_feats, h_down[s], h_down[r]], axis=-1)
+        aug = jnp.concatenate(
+            [edge_feats, batch.gather_src(h_down), batch.gather_dst(h_down)],
+            axis=-1,
+        )
         tp_w = MLP(
             [n_sc, n_sc, n_sc, tp.weight_numel],
             activation=jax.nn.silu,
             activate_final=False,
         )(aug)
-        mji = tp(h_up[s], edge_attrs, tp_w)
+        mji = tp(batch.gather_src(h_up), edge_attrs, tp_w)
         mji = mji * batch.edge_mask[:, None].astype(mji.dtype)
         message = segment_sum(mji, r, node_feats.shape[0])
         message = IrrepsLinear(

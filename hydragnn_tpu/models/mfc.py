@@ -36,6 +36,7 @@ class MFConv(nn.Module):
         agg = gather_scatter_sum(
             inv, batch.senders, batch.receivers, inv.shape[0],
             edge_mask=batch.edge_mask,
+            perm_by_sender=batch.edge_perm_by_sender,
         )
         deg = degree(batch.receivers, inv.shape[0], mask=batch.edge_mask)
         d = jnp.minimum(deg.astype(jnp.int32), self.max_degree)

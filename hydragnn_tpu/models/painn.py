@@ -53,10 +53,10 @@ class PainnMessage(nn.Module):
         # reference flow: gather from edge_index[1], aggregate into edge_index[0]
         src_gather = batch.receivers
         dst_scatter = batch.senders
-        filter_out = fw * h[src_gather]
+        filter_out = fw * batch.gather_dst(h)
         gate_v, gate_e, msg_s = jnp.split(filter_out, 3, axis=1)
 
-        msg_v = v_feat[src_gather] * gate_v[:, None, :]
+        msg_v = batch.gather_dst(v_feat) * gate_v[:, None, :]
         edge_vector = gate_e[:, None, :] * (diff / dist)[:, :, None]
         msg_v = msg_v + edge_vector
 

@@ -48,7 +48,7 @@ class PNAEqMessage(nn.Module):
         edge_vec = ctx["edge_vec"]
 
         rbf_attr = jnp.tanh(nn.Dense(F_in, name="rbf_emb")(rbf))
-        parts = [x[src], x[dst], rbf_attr]
+        parts = [batch.gather_src(x), batch.gather_dst(x), rbf_attr]
         e_attr = ctx.get("edge_attr")
         if self.edge_dim and e_attr is not None:
             parts.append(nn.Dense(F_in, name="edge_encoder")(e_attr))
@@ -64,7 +64,7 @@ class PNAEqMessage(nn.Module):
 
         gate_v, gate_e, msg_s = jnp.split(h, 3, axis=-1)
 
-        msg_v = v[dst] * gate_v[:, None, :] + gate_e[:, None, :] * edge_vec[:, :, None]
+        msg_v = batch.gather_dst(v) * gate_v[:, None, :] + gate_e[:, None, :] * edge_vec[:, :, None]
 
         em = batch.edge_mask
         msg_s = msg_s * em[:, None].astype(msg_s.dtype)

@@ -70,7 +70,7 @@ class PNAPlusConv(nn.Module):
         else:
             enc = rbf_emb
         h = jnp.concatenate(
-            [inv[batch.receivers], inv[batch.senders], enc], axis=-1
+            [batch.gather_dst(inv), batch.gather_src(inv), enc], axis=-1
         )
         h = nn.Dense(F_in, name="pre_nn")(h)
         h = h * nn.Dense(F_in, use_bias=False, name="rbf_lin")(rbf)

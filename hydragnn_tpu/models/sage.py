@@ -19,7 +19,7 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
-        msg = inv[batch.senders]
+        msg = batch.gather_src(inv)
         agg = segment_mean(
             msg, batch.receivers, inv.shape[0], mask=batch.edge_mask
         )

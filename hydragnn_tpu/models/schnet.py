@@ -75,7 +75,7 @@ class CFConv(nn.Module):
                                indices_are_sorted=False)
             equiv = equiv + agg
 
-        msg = x[s] * W
+        msg = batch.gather_src(x) * W
         msg = msg * batch.edge_mask[:, None].astype(msg.dtype)
         out = segment_sum(msg, r, N)
         out = nn.Dense(self.out_dim, name="lin2")(out)

@@ -184,9 +184,16 @@ def gather_scatter_sum(
     num_nodes: int,
     edge_weight: Optional[jnp.ndarray] = None,
     edge_mask: Optional[jnp.ndarray] = None,
+    perm_by_sender: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Plain SpMM: out[r] += w_e * x[s] — the unfused baseline message layer."""
-    msg = node_feat[senders]
+    """Plain SpMM: out[r] += w_e * x[s] — the unfused baseline message layer.
+    ``perm_by_sender`` routes the gather's backward scatter sorted."""
+    if perm_by_sender is not None:
+        from hydragnn_tpu.ops.spmm import gather_nodes
+
+        msg = gather_nodes(node_feat, senders, perm_by_sender)
+    else:
+        msg = node_feat[senders]
     if edge_weight is not None:
         msg = msg * edge_weight.reshape((-1,) + (1,) * (msg.ndim - 1))
     if edge_mask is not None:

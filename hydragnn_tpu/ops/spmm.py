@@ -62,3 +62,48 @@ def spmm(
             msgs, receivers, num_nodes, indices_are_sorted=True
         )
     return spmm_sorted(x, senders, receivers, perm_by_sender, num_nodes)
+
+
+@jax.custom_vjp
+def _gather_sorted_bwd(x, ids, perm):
+    """x[ids] whose BACKWARD scatter runs sorted: dx = segment_sum of the
+    cotangent re-ordered by ``perm`` (which sorts ``ids``; identity when ids
+    are already sorted). Plain x[ids] backward is an unsorted XLA scatter-add
+    — the slowest op on TPU (measured ~10-30x worse than sorted) and it
+    appears in the backward of EVERY message gather."""
+    return x[ids]
+
+
+def _gather_fwd(x, ids, perm):
+    return x[ids], (ids, perm, x.shape[0])
+
+
+def _gather_bwd(res, g):
+    ids, perm, n = res
+    from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
+
+    if g.ndim == 2:
+        dx = segment_sum_auto(
+            g[perm], ids[perm], n, indices_are_sorted=True
+        )
+    else:
+        dx = jax.ops.segment_sum(
+            g[perm], ids[perm], n, indices_are_sorted=True
+        )
+    return (dx, None, None)
+
+
+_gather_sorted_bwd.defvjp(_gather_fwd, _gather_bwd)
+
+
+def gather_nodes(
+    x: jnp.ndarray,
+    ids: jnp.ndarray,
+    perm: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Gather node rows to edges with a sorted-scatter backward. ``perm``
+    sorts ``ids`` (GraphBatch.edge_perm_by_sender for sender gathers); pass
+    None when ``ids`` are already sorted (receiver gathers)."""
+    if perm is None:
+        perm = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    return _gather_sorted_bwd(x, ids, perm)
