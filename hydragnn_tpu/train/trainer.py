@@ -168,6 +168,50 @@ def make_eval_step(model: HydraBase, cfg: ArchConfig, compute_grad_energy=False)
     return jax.jit(eval_step)
 
 
+def make_scan_train_epoch(
+    model: HydraBase,
+    cfg: ArchConfig,
+    optimizer: optax.GradientTransformation,
+    compute_grad_energy: bool = False,
+):
+    """Whole-epoch ``lax.scan`` over a stacked batch pytree [S, ...]: one
+    device launch per epoch instead of one per step — removes all per-step
+    host involvement (dispatch, python, transfers). Use when the epoch's
+    batches fit in HBM; returns (state, per-step losses [S])."""
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy)
+
+    def epoch_fn(state: TrainState, stacked_batches: GraphBatch, rng):
+        def body(carry, batch):
+            state = carry
+            step_rng = jax.random.fold_in(rng, state.step)
+            (loss, (tasks, _, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, step_rng, True)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt_state,
+                    step=state.step + 1,
+                ),
+                loss,
+            )
+
+        state, losses = jax.lax.scan(body, state, stacked_batches)
+        return state, losses
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
+def stack_batches(batches: List[GraphBatch]) -> GraphBatch:
+    """Stack identically-shaped batches along a new leading scan axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+
+
 def _epoch_mean(vals: List[float]) -> float:
     return float(np.mean(vals)) if vals else float("nan")
 

@@ -1,0 +1,41 @@
+"""Epoch-in-a-scan fast path matches the per-step loop numerically."""
+
+import numpy as np
+import jax
+
+from tests.test_models_forward import make_batch, make_cfg
+from hydragnn_tpu.models.create import create_model
+from hydragnn_tpu.train.optimizer import select_optimizer
+from hydragnn_tpu.train.trainer import (
+    init_state,
+    make_scan_train_epoch,
+    make_train_step,
+    stack_batches,
+)
+
+
+def test_scan_epoch_matches_step_loop():
+    cfg = make_cfg("GIN")
+    model = create_model(cfg)
+    batches = [make_batch(seed=i) for i in range(4)]
+    opt = select_optimizer({"Optimizer": {"type": "SGD",
+                                          "learning_rate": 0.01}})
+    state_a = init_state(model, batches[0], opt)
+    state_b = jax.device_get(state_a)
+    rng = jax.random.PRNGKey(0)
+
+    step = make_train_step(model, cfg, opt)
+    losses_a = []
+    for b in batches:
+        state_a, loss, _ = step(state_a, b, rng)
+        losses_a.append(float(loss))
+
+    epoch = make_scan_train_epoch(model, cfg, opt)
+    state_b, losses_b = epoch(state_b, stack_batches(batches), rng)
+    np.testing.assert_allclose(losses_a, np.asarray(losses_b), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
