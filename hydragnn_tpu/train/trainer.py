@@ -67,7 +67,11 @@ def init_state(
     rng = jax.random.PRNGKey(0) if rng is None else rng
     variables = model.init(rng, sample_batch, train=False)
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    # plain dicts keep scan-carry pytree structure stable (mutable-apply
+    # returns dicts, init returns FrozenDicts)
+    from flax.core import unfreeze
+
+    batch_stats = unfreeze(variables.get("batch_stats", FrozenDict()))
     opt_state = optimizer.init(params)
     return TrainState(
         params=params,
@@ -83,7 +87,9 @@ def _forward(model, params, batch_stats, batch, train, rngs=None):
         out, mutated = model.apply(
             variables, batch, train=True, mutable=["batch_stats"], rngs=rngs
         )
-        return out, mutated["batch_stats"]
+        from flax.core import unfreeze
+
+        return out, unfreeze(mutated["batch_stats"])
     out = model.apply(variables, batch, train=False)
     return out, batch_stats
 
