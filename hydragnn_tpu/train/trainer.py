@@ -94,7 +94,17 @@ def _forward(model, params, batch_stats, batch, train, rngs=None):
     return out, batch_stats
 
 
-def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool):
+def _cast_floats(tree, dtype):
+    def c(a):
+        if hasattr(a, "dtype") and a.dtype in (jnp.float32, jnp.bfloat16):
+            return a.astype(dtype)
+        return a
+
+    return jax.tree_util.tree_map(c, tree)
+
+
+def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
+                 mixed_precision: bool = False):
     """Returns loss_fn(params, batch_stats, batch, rng, train) ->
     (loss, (aux...))."""
 
@@ -102,7 +112,25 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool):
 
         def loss_fn(params, batch_stats, batch, rng, train: bool):
             rngs = {"dropout": rng} if train else None
-            pred, new_stats = _forward(model, params, batch_stats, batch, train, rngs)
+            if mixed_precision:
+                # bf16 compute with fp32 master params (params cast inside the
+                # grad so cotangents come back fp32 via the cast's transpose);
+                # loss/targets stay fp32
+                p16 = _cast_floats(params, jnp.bfloat16)
+                b16 = batch.replace(
+                    x=batch.x.astype(jnp.bfloat16),
+                    pos=batch.pos.astype(jnp.bfloat16),
+                )
+                pred, new_stats = _forward(
+                    model, p16, batch_stats, b16, train, rngs
+                )
+                pred = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), pred
+                )
+            else:
+                pred, new_stats = _forward(
+                    model, params, batch_stats, batch, train, rngs
+                )
             loss, tasks = compute_loss(cfg, pred, batch)
             return loss, (tasks, pred, new_stats)
 
@@ -138,8 +166,9 @@ def make_train_step(
     cfg: ArchConfig,
     optimizer: optax.GradientTransformation,
     compute_grad_energy: bool = False,
+    mixed_precision: bool = False,
 ):
-    loss_fn = make_loss_fn(model, cfg, compute_grad_energy)
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy, mixed_precision)
 
     def train_step(state: TrainState, batch: GraphBatch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -179,12 +208,13 @@ def make_scan_train_epoch(
     cfg: ArchConfig,
     optimizer: optax.GradientTransformation,
     compute_grad_energy: bool = False,
+    mixed_precision: bool = False,
 ):
     """Whole-epoch ``lax.scan`` over a stacked batch pytree [S, ...]: one
     device launch per epoch instead of one per step — removes all per-step
     host involvement (dispatch, python, transfers). Use when the epoch's
     batches fit in HBM; returns (state, per-step losses [S])."""
-    loss_fn = make_loss_fn(model, cfg, compute_grad_energy)
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy, mixed_precision)
 
     def epoch_fn(state: TrainState, stacked_batches: GraphBatch, rng):
         def body(carry, batch):
@@ -220,6 +250,39 @@ def stack_batches(batches: List[GraphBatch]) -> GraphBatch:
 
 def _epoch_mean(vals: List[float]) -> float:
     return float(np.mean(vals)) if vals else float("nan")
+
+
+def _scan_chunked_epoch(loader, state, scan_epoch_fn, train_step, rng,
+                        chunk: int, max_batches=None):
+    """Drive the epoch in `chunk`-step scan launches; a trailing partial
+    chunk falls back to per-step calls (bounds compiles to 2 programs)."""
+    losses: List[float] = []
+    pending: List[GraphBatch] = []
+    n = 0
+
+    def flush():
+        nonlocal state, pending
+        if len(pending) == chunk:
+            state_, ls = scan_epoch_fn(state, stack_batches(pending), rng)
+            state = state_
+            losses.extend(float(l) for l in np.asarray(ls))
+        else:
+            for b in pending:
+                state_, loss, _ = train_step(state, b, rng)
+                state = state_
+                losses.append(float(loss))
+        pending = []
+
+    for batch in loader:
+        if max_batches is not None and n >= max_batches:
+            break
+        pending.append(batch)
+        n += 1
+        if len(pending) == chunk:
+            flush()
+    if pending:
+        flush()
+    return state, _epoch_mean(losses)
 
 
 def train_epoch(loader, state, train_step, rng, max_batches=None):
@@ -326,8 +389,22 @@ def train_validate_test(
         sample = next(iter(train_loader))
         state = init_state(model, sample, optimizer, rng)
 
-    train_step = make_train_step(model, cfg, optimizer, compute_grad_energy)
+    mixed_precision = str(training.get("mixed_precision", "")).lower() in (
+        "bf16", "bfloat16", "true", "1"
+    )
+    train_step = make_train_step(
+        model, cfg, optimizer, compute_grad_energy, mixed_precision
+    )
     eval_step = make_eval_step(model, cfg, compute_grad_energy)
+    # epoch-in-a-scan (chunked): one device launch per `scan_chunk` steps
+    scan_chunk = int(training.get("scan_chunk", 0))
+    scan_epoch_fn = (
+        make_scan_train_epoch(
+            model, cfg, optimizer, compute_grad_energy, mixed_precision
+        )
+        if scan_chunk > 1
+        else None
+    )
 
     scheduler = ReduceLROnPlateau()
     early = (
@@ -355,9 +432,15 @@ def train_validate_test(
         epoch_t0 = time.perf_counter()
         tr.start("train")
         train_loader.set_epoch(epoch)
-        state, train_loss, _ = train_epoch(
-            train_loader, state, train_step, rng, max_batches
-        )
+        if scan_epoch_fn is not None:
+            state, train_loss = _scan_chunked_epoch(
+                train_loader, state, scan_epoch_fn, train_step,
+                jax.random.fold_in(rng, epoch), scan_chunk, max_batches,
+            )
+        else:
+            state, train_loss, _ = train_epoch(
+                train_loader, state, train_step, rng, max_batches
+            )
         tr.stop("train")
         tr.start("validate")
         if do_valtest:

@@ -39,3 +39,13 @@ def test_scan_epoch_matches_step_loop():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_trainer_scan_chunk_and_bf16_options(tmp_path):
+    """Training.scan_chunk + Training.mixed_precision through the full loop."""
+    from tests.test_training_e2e import _prepare, _run
+
+    config, train, val, test = _prepare(tmp_path, n_configs=60)
+    config["NeuralNetwork"]["Training"]["scan_chunk"] = 2
+    config["NeuralNetwork"]["Training"]["mixed_precision"] = "bf16"
+    _run(config, train, val, test, "GIN", num_epoch=10, thresholds=(1.0, 1.0))
