@@ -26,6 +26,7 @@ def data_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("config_name", [
     "ci.json", "ci_multihead.json", "ci_conv_head.json", "ci_equivariant.json",
+    "ci_vectoroutput.json",
 ])
 def test_config_file_trains(config_name, data_dir):
     config = load_config(os.path.join(INPUTS, config_name))
