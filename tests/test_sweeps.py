@@ -100,3 +100,23 @@ def test_gaussian_nll_returns_var():
     assert out[0].shape == (batch.num_graphs, 1)
     assert var[0].shape == (batch.num_graphs, 1)
     assert np.all(np.asarray(var[0]) >= 0)
+
+
+def test_conv_checkpointing_matches():
+    """Activation checkpointing (nn.remat; ref: Base.py:459-465) is
+    numerically identical to the plain path."""
+    import jax as _jax
+
+    cfg_a = make_cfg("GIN", conv_checkpointing=True)
+    cfg_b = make_cfg("GIN", conv_checkpointing=False)
+    batch = make_batch()
+    opt = select_optimizer({"Optimizer": {"type": "AdamW",
+                                          "learning_rate": 1e-3}})
+    losses = []
+    for cfg in (cfg_a, cfg_b):
+        model = create_model(cfg)
+        state = init_state(model, batch, opt)
+        step = make_train_step(model, cfg, opt)
+        state, loss, _ = step(state, batch, _jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert abs(losses[0] - losses[1]) < 1e-6
