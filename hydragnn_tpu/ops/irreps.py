@@ -158,7 +158,6 @@ def real_sph_harm_np(lmax: int, vecs: np.ndarray) -> np.ndarray:
     sum_m Y_lm(n)^2 = 2l+1 (e3nn 'component'; orthonormal x sqrt(4 pi)).
     """
     x, y, z = vecs[..., 0], vecs[..., 1], vecs[..., 2]
-    r_xy = np.sqrt(x * x + y * y)
     phi = np.arctan2(y, x)
     ct = np.clip(z, -1.0, 1.0)
     P = _assoc_legendre_np(lmax, ct)
@@ -189,7 +188,6 @@ def spherical_harmonics(
         n = jnp.sqrt(jnp.sum(vecs * vecs, axis=-1, keepdims=True) + 1e-24)
         vecs = vecs / jnp.maximum(n, eps)
     x, y, z = vecs[..., 0], vecs[..., 1], vecs[..., 2]
-    r_xy = jnp.sqrt(jnp.maximum(x * x + y * y, 0.0))
     phi = jnp.arctan2(y, x)
     ct = jnp.clip(z, -1.0, 1.0)
 
