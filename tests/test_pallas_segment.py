@@ -95,3 +95,18 @@ def test_spmm_grad_with_perm():
     g2 = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_segment_sum_csr_v2_windowed():
+    rng = np.random.RandomState(4)
+    for N, E, deg_sorted in ((700, 2100, True), (512, 8192, True)):
+        receivers = np.sort(rng.randint(0, N, E)).astype(np.int32)
+        msgs = rng.randn(E, 128).astype(np.float32)
+        want = np.asarray(
+            jax.ops.segment_sum(jnp.asarray(msgs), jnp.asarray(receivers), N)
+        )
+        got = np.asarray(
+            ps._segment_sum_csr_impl_v2(jnp.asarray(msgs),
+                                        jnp.asarray(receivers), N)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
