@@ -185,3 +185,20 @@ def create_dataloaders(
             PrefetchLoader(test_loader),
         )
     return train_loader, val_loader, test_loader
+
+
+def total_to_train_val_test_pickles(
+    dataset: Sequence[GraphSample],
+    basedir: str,
+    perc_train: float,
+    stratify_splitting: bool = False,
+    attrs=None,
+) -> None:
+    """Split and persist as pickle datasets (ref: preprocess/load_data.py:
+    397-438 total_to_train_val_test_pkls)."""
+    from hydragnn_tpu.data.pickledataset import SimplePickleWriter
+
+    train, val, test = split_dataset(dataset, perc_train, stratify_splitting)
+    for label, split in (("trainset", train), ("valset", val),
+                         ("testset", test)):
+        SimplePickleWriter(split, basedir, label=label, attrs=attrs)
