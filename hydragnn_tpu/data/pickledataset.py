@@ -56,6 +56,8 @@ class SimplePickleDataset:
         return self.ntotal
 
     def __getitem__(self, i: int) -> GraphSample:
+        if not 0 <= i < self.ntotal:
+            raise IndexError(i)  # sequence protocol (list()/iteration)
         d = self.basedir
         if self.use_subdir:
             d = os.path.join(self.basedir, str(i // self.nmax))
