@@ -38,6 +38,11 @@ class MaskedGraphAttention(nn.Module):
     heads: int
     dropout: float = 0.0
 
+    # above this node count, stream over key blocks (flash-style online
+    # softmax) instead of materializing the [H, N, N] logits tensor
+    flash_threshold: int = 2048
+    key_block: int = 1024
+
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, batch: GraphBatch, train: bool = False
@@ -50,20 +55,57 @@ class MaskedGraphAttention(nn.Module):
         k = k.reshape(n, self.heads, head_dim)
         v = v.reshape(n, self.heads, head_dim)
 
-        # per-graph block mask [n, n]
         gi = batch.node_graph_idx
-        same_graph = gi[:, None] == gi[None, :]
         valid = batch.node_mask
-        mask = same_graph & valid[None, :]  # keys must be valid & same graph
+        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, x.dtype))
 
-        logits = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(
-            jnp.asarray(head_dim, x.dtype)
-        )
-        logits = jnp.where(mask[None, :, :], logits, jnp.finfo(x.dtype).min)
-        attn = jax.nn.softmax(logits, axis=-1)
-        if self.dropout > 0.0 and train:
-            attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("hqk,khd->qhd", attn, v).reshape(n, self.channels)
+        if n <= self.flash_threshold or n % self.key_block != 0:
+            # dense path: per-graph block mask [n, n]
+            same_graph = gi[:, None] == gi[None, :]
+            mask = same_graph & valid[None, :]
+            logits = jnp.einsum("qhd,khd->hqk", q, k) * scale
+            logits = jnp.where(
+                mask[None, :, :], logits, jnp.finfo(x.dtype).min
+            )
+            attn = jax.nn.softmax(logits, axis=-1)
+            if self.dropout > 0.0 and train:
+                attn = nn.Dropout(rate=self.dropout,
+                                  deterministic=not train)(attn)
+            out = jnp.einsum("hqk,khd->qhd", attn, v)
+        else:
+            # flash-style: stream key blocks with running max/denominator;
+            # O(N * key_block) memory instead of O(N^2). (Dropout on attention
+            # weights is not supported on this path.)
+            kb = self.key_block
+            ks = k.reshape(n // kb, kb, self.heads, head_dim)
+            vs = v.reshape(n // kb, kb, self.heads, head_dim)
+            gis = gi.reshape(n // kb, kb)
+            vms = valid.reshape(n // kb, kb)
+            neg = jnp.finfo(jnp.float32).min
+
+            def body(carry, blk):
+                m, l, acc = carry
+                kb_, vb_, gib, vmb = blk
+                s = jnp.einsum("qhd,khd->qhk", q, kb_) * scale
+                ok = (gi[:, None] == gib[None, :]) & vmb[None, :]
+                s = jnp.where(ok[:, None, :], s.astype(jnp.float32), neg)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+                p = jnp.exp(s - m_new[..., None])
+                corr = jnp.exp(m - m_new)
+                l = l * corr + jnp.sum(p, axis=-1)
+                acc = acc * corr[..., None] + jnp.einsum(
+                    "qhk,khd->qhd", p.astype(x.dtype), vb_
+                )
+                return (m_new, l, acc), None
+
+            m0 = jnp.full((n, self.heads), neg, jnp.float32)
+            l0 = jnp.zeros((n, self.heads), jnp.float32)
+            a0 = jnp.zeros((n, self.heads, head_dim), x.dtype)
+            (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
+                                          (ks, vs, gis, vms))
+            out = acc / jnp.maximum(l, 1e-16)[..., None].astype(x.dtype)
+
+        out = out.reshape(n, self.channels)
         out = nn.Dense(self.channels, name="out_proj")(out)
         # zero out padding rows (their softmax was over a garbage row)
         return out * valid[:, None].astype(out.dtype)

@@ -197,3 +197,38 @@ def test_padding_invariance():
     o1 = model.apply(v, b1, train=False)[0]
     o2 = model.apply(v, b2, train=False)[0]
     np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]), rtol=1e-5)
+
+
+def test_flash_attention_matches_dense():
+    """Streaming (flash) masked attention == dense masked attention."""
+    from hydragnn_tpu.models.gps import MaskedGraphAttention
+
+    rng = np.random.RandomState(0)
+    samples = []
+    for g in range(16):
+        n = 64
+        senders, receivers = [], []
+        for i in range(n):
+            nb = rng.choice([j for j in range(n) if j != i], 3, replace=False)
+            senders.extend(nb)
+            receivers.extend([i] * 3)
+        samples.append(
+            GraphSample(
+                x=rng.randn(n, 1).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=np.stack([senders, receivers]),
+                y_graph=rng.randn(1).astype(np.float32),
+            )
+        )
+    batch = collate(samples)  # 1088 nodes -> pad 1088? ensure %512
+    batch2 = collate(samples, n_node_pad=2048)
+    x = jnp.asarray(rng.randn(batch2.num_nodes, 16).astype(np.float32))
+
+    dense = MaskedGraphAttention(16, 2, flash_threshold=10**9)
+    flash = MaskedGraphAttention(16, 2, flash_threshold=1, key_block=512)
+    v = dense.init(jax.random.PRNGKey(0), x, batch2)
+    o_dense = dense.apply(v, x, batch2)
+    o_flash = flash.apply(v, x, batch2)
+    np.testing.assert_allclose(
+        np.asarray(o_dense), np.asarray(o_flash), rtol=2e-4, atol=2e-5
+    )
