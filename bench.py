@@ -6,17 +6,21 @@ framework's aggregation path (Pallas CSR kernel on TPU, XLA segment_sum
 elsewhere) on a representative workload (N=128k nodes, avg degree 16, F=128)
 and reports the achieved fraction of the HBM roofline.
 
-Measurement is dependency-chained inside one jit (fori_loop feeding varying
-inputs) — repeated identical-arg calls would hit result caching through the
-remote-TPU tunnel and read as impossibly fast.
+Robustness: the Pallas kernel's remote Mosaic compile can be slow on tunneled
+TPU setups, so the measurement runs in a time-boxed subprocess and falls back
+to the XLA path if it exceeds the deadline.
+
+Measurement alternates two input buffers — repeated identical-arg calls can
+hit result caching in remote runtimes and read as impossibly fast.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 
 def hbm_bandwidth_bytes(device) -> float:
@@ -35,18 +39,18 @@ def hbm_bandwidth_bytes(device) -> float:
     return 819e9  # default to v5e
 
 
-def main():
+def measure(use_pallas: bool) -> dict:
+    import numpy as np
     import jax
     import jax.numpy as jnp
-    from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
 
     dev = jax.devices()[0]
     bw = hbm_bandwidth_bytes(dev)
 
-    N = 1 << 17  # nodes
-    D = 16  # average degree
+    N = 1 << 17
+    D = 16
     E = N * D
-    F = 128  # feature width
+    F = 128
 
     rng = np.random.RandomState(0)
     receivers = np.sort(rng.randint(0, N, E)).astype(np.int32)
@@ -57,41 +61,62 @@ def main():
     sd = jax.device_put(jnp.asarray(senders), dev)
     rd = jax.device_put(jnp.asarray(receivers), dev)
 
-    iters = 10
+    if use_pallas:
+        from hydragnn_tpu.ops.pallas_segment import segment_sum_csr
+
+        reduce_fn = lambda m: segment_sum_csr(m, rd, N)
+    else:
+        reduce_fn = lambda m: jax.ops.segment_sum(
+            m, rd, N, indices_are_sorted=True
+        )
 
     @jax.jit
     def spmm(x):
-        return segment_sum_auto(x[sd], rd, N)
+        return reduce_fn(x[sd])
 
-    # alternating input buffers defeat the remote-tunnel result cache while
-    # keeping the compiled module small (a chained fori_loop measures the
-    # same within noise but takes ~5x longer to compile remotely)
     x2 = xd * np.float32(1.0000001)
     out = spmm(xd)
     out.block_until_ready()
+    iters = 10
     t0 = time.perf_counter()
     outs = [spmm(xd if i % 2 else x2) for i in range(iters)]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = E / dt
-    # HBM roofline for gather + reduce: node reads for the gather (E*F*4 worst
-    # case, random rows), message write+read between gather and reduce is
-    # fused away in the kernel path -> count E*F*4 read + N*F*4 write + idx.
     bytes_moved = E * F * 4 + N * F * 4 + E * 8
-    sol_time = bytes_moved / bw
-    fraction = sol_time / dt
+    fraction = (bytes_moved / bw) / dt
+    return {
+        "metric": "spmm_aggregation_fraction_of_hbm_sol",
+        "value": round(float(fraction), 4),
+        "unit": f"fraction_of_SOL({edges_per_s:.3e}_edges_per_s)",
+        "vs_baseline": round(float(fraction), 4),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "spmm_aggregation_fraction_of_hbm_sol",
-                "value": round(float(fraction), 4),
-                "unit": f"fraction_of_SOL({edges_per_s:.3e}_edges_per_s)",
-                "vs_baseline": round(float(fraction), 4),
-            }
-        )
-    )
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] in ("--pallas", "--xla"):
+        print(json.dumps(measure(sys.argv[1] == "--pallas")))
+        return
+    # try the kernel path in a time-boxed subprocess; fall back to XLA
+    here = os.path.abspath(__file__)
+    for args, timeout in ((["--pallas"], 1500), (["--xla"], 1500)):
+        try:
+            out = subprocess.run(
+                [sys.executable, here] + args,
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(here),
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+        except subprocess.TimeoutExpired:
+            continue
+    print(json.dumps({
+        "metric": "spmm_aggregation_fraction_of_hbm_sol",
+        "value": 0.0, "unit": "bench_failed", "vs_baseline": 0.0,
+    }))
 
 
 if __name__ == "__main__":
