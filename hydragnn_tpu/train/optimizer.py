@@ -74,11 +74,11 @@ def freeze_conv_params(
 
 
 class ReduceLROnPlateau:
-    """Host-side LR scheduler (ref: run_training.py:102,
-    torch.optim.lr_scheduler.ReduceLROnPlateau defaults: factor 0.1,
-    patience 10, mode 'min')."""
+    """Host-side LR scheduler (ref: run_training.py:102-104:
+    factor=0.5, patience=5, min_lr=1e-5, mode='min')."""
 
-    def __init__(self, factor: float = 0.5, patience: int = 5, min_lr: float = 1e-8):
+    def __init__(self, factor: float = 0.5, patience: int = 5,
+                 min_lr: float = 1e-5):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
