@@ -38,12 +38,21 @@ THRESHOLDS = {
 }
 
 
+EDGE_THRESHOLDS = {  # ref: tests/test_graphs.py:158-161
+    "CGCNN": (0.175, 0.175),
+    "PNA": (0.10, 0.10),
+    "PNAPlus": (0.10, 0.10),
+}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", default=",".join(THRESHOLDS))
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--n_configs", type=int, default=500)
     p.add_argument("--data_dir", default=None)
+    p.add_argument("--edge_features", action="store_true",
+                   help="edge-length features + tighter thresholds")
     args = p.parse_args()
 
     import numpy as np
@@ -73,6 +82,8 @@ def main():
         config = load_config(config_path)
         arch = config["NeuralNetwork"]["Architecture"]
         arch["mpnn_type"] = mpnn_type
+        if args.edge_features:
+            arch["edge_features"] = ["length"]
         config["NeuralNetwork"]["Training"]["num_epoch"] = args.epochs
         config["NeuralNetwork"]["Training"]["EarlyStopping"] = False
         config["NeuralNetwork"]["Training"]["Checkpoint"] = False
@@ -109,7 +120,9 @@ def main():
         _, results = train_validate_test(model, cfg, config, *loaders)
         rmse = results["test_rmse"][0]
         mae = results["test_mae"][0]
-        thr = THRESHOLDS[mpnn_type]
+        thr = (EDGE_THRESHOLDS if args.edge_features else THRESHOLDS)[
+            mpnn_type
+        ]
         ok = rmse < thr[0] and mae < thr[1]
         all_pass &= ok
         print(json.dumps({
