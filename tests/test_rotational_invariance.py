@@ -43,3 +43,32 @@ def test_output_rotation_invariance(mpnn_type):
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-5
     )
+
+
+def test_normalize_rotation_pipeline(tmp_path):
+    """rotational_invariance config flag: the PCA-frame normalization makes
+    edge-geometry features identical for rotated copies of a structure
+    (ref: tests/test_rotational_invariance.py:70-110)."""
+    from hydragnn_tpu.data.transforms import normalize_rotation
+    from hydragnn_tpu.graph import GraphSample
+    from hydragnn_tpu.data.neighbors import edge_lengths
+
+    rng = np.random.RandomState(3)
+    n = 12
+    pos = rng.randn(n, 3).astype(np.float32)
+    ei = np.stack([rng.randint(0, n, 30), rng.randint(0, n, 30)])
+    s1 = GraphSample(x=rng.randn(n, 1).astype(np.float32), pos=pos,
+                     edge_index=ei)
+    Q = rotation(7)
+    s2 = GraphSample(x=s1.x, pos=pos @ Q.T, edge_index=ei)
+    n1 = normalize_rotation(s1)
+    n2 = normalize_rotation(s2)
+    # PCA frame is sign-ambiguous per axis; compare rotation-invariant
+    # quantities: edge lengths and |coordinates| spectra
+    np.testing.assert_allclose(
+        edge_lengths(n1.pos, ei), edge_lengths(n2.pos, ei), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.sort(np.abs(n1.pos), axis=0), np.sort(np.abs(n2.pos), axis=0),
+        atol=1e-4,
+    )
