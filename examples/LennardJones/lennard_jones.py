@@ -120,6 +120,10 @@ def main():
                 "num_filters": args.hidden_dim,
                 "num_radial": 8,
                 "envelope_exponent": 5,
+                # geometric-stack extras (used by MACE; ignored elsewhere)
+                "max_ell": 1,
+                "node_max_ell": 1,
+                "correlation": 2,
                 "output_heads": {
                     "node": {
                         "num_headlayers": 2,

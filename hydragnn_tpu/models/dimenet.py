@@ -205,7 +205,8 @@ class DIMEStack(HydraBase):
         cfg = self.cfg
         trip = build_triplets(batch, cfg.max_neighbours or 16)
         edge_vec, edge_dist = get_edge_vectors_and_lengths(
-            batch.pos, batch.senders, batch.receivers, batch.edge_shifts
+            batch.pos, batch.senders, batch.receivers, batch.edge_shifts,
+            edge_mask=batch.edge_mask,
         )
         # angle between edge ji and (composed) ki (ref: :173-182)
         pos_ji = edge_vec[trip.idx_ji]

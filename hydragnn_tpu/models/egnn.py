@@ -34,7 +34,7 @@ class E_GCL(nn.Module):
         s, r = batch.senders, batch.receivers
         N = inv.shape[0]
         diff_hat, radial = get_edge_vectors_and_lengths(
-            equiv, s, r, normalize=True, eps=1.0
+            equiv, s, r, normalize=True, eps=1.0, edge_mask=batch.edge_mask
         )
         parts = [batch.gather_src(inv), batch.gather_dst(inv), radial]
         e_attr = ctx.get("edge_attr")

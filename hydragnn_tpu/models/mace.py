@@ -461,7 +461,8 @@ class MACEStack(HydraBase):
         )
         pos = batch.pos - mean_pos[batch.node_graph_idx]
         edge_vec, edge_dist = get_edge_vectors_and_lengths(
-            pos, batch.senders, batch.receivers, batch.edge_shifts
+            pos, batch.senders, batch.receivers, batch.edge_shifts,
+            edge_mask=batch.edge_mask,
         )
         node_onehot = process_node_attributes(batch.x)
         node_feats = self.node_embedding(

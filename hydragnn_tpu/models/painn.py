@@ -153,7 +153,7 @@ class PAINNStack(HydraBase):
         inv, _, ctx = super()._embedding(batch)
         diff, dist = get_edge_vectors_and_lengths(
             batch.pos, batch.senders, batch.receivers, batch.edge_shifts,
-            normalize=True,
+            normalize=True, edge_mask=batch.edge_mask,
         )
         ctx["diff"] = diff
         ctx["dist"] = jnp.maximum(dist, 1e-12)

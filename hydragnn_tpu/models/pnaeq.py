@@ -151,7 +151,7 @@ class PNAEqStack(HydraBase):
         inv, _, ctx = super()._embedding(batch)
         diff, dist = get_edge_vectors_and_lengths(
             batch.pos, batch.senders, batch.receivers, batch.edge_shifts,
-            normalize=True,
+            normalize=True, edge_mask=batch.edge_mask,
         )
         d = jnp.maximum(dist[:, 0], 1e-12)
         rbf = sinc_expansion(d, self.cfg.num_radial, self.cfg.radius)

@@ -118,7 +118,8 @@ class PNAPlusStack(HydraBase):
         """ref: PNAPlusStack._embedding:101-138 — adds rbf(edge length)."""
         inv, equiv, ctx = super()._embedding(batch)
         _, edge_dist = get_edge_vectors_and_lengths(
-            batch.pos, batch.senders, batch.receivers, batch.edge_shifts
+            batch.pos, batch.senders, batch.receivers, batch.edge_shifts,
+            edge_mask=batch.edge_mask,
         )
         ctx["rbf"] = self.rbf_layer(edge_dist[:, 0])
         return inv, equiv, ctx

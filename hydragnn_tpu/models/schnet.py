@@ -46,7 +46,7 @@ class CFConv(nn.Module):
         # distances from current positions (zero shifts; pbc shifts are not
         # supported in positional-update models, ref: SCFStack.py:170-173)
         diff_hat, lengths = get_edge_vectors_and_lengths(
-            equiv, s, r, normalize=True, eps=1.0
+            equiv, s, r, normalize=True, eps=1.0, edge_mask=batch.edge_mask
         )
         d = lengths[:, 0]
         rbf = gaussian_smearing(d, 0.0, self.cutoff, self.num_gaussians)

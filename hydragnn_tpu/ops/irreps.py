@@ -188,13 +188,26 @@ def spherical_harmonics(
         n = jnp.sqrt(jnp.sum(vecs * vecs, axis=-1, keepdims=True) + 1e-24)
         vecs = vecs / jnp.maximum(n, eps)
     x, y, z = vecs[..., 0], vecs[..., 1], vecs[..., 2]
-    phi = jnp.arctan2(y, x)
     ct = jnp.clip(z, -1.0, 1.0)
+    # Pole-safe azimuth: arctan2(y, x) has a NaN gradient at x = y = 0 (an
+    # edge along +-z) and sqrt(1 - ct^2) an infinite one at |ct| = 1 — both
+    # poison force training (grad-of-grad). Instead use sin(theta) = rho =
+    # sqrt(x^2 + y^2 + tiny) and build cos/sin(m*phi) by Chebyshev recurrence
+    # on (x/rho, y/rho): each harmonic is then a polynomial in x, y with
+    # smooth derivatives everywhere (the rho^m from P[(m, m)] cancels the
+    # 1/rho^m of the angle factors).
+    rho = jnp.sqrt(x * x + y * y + 1e-24)
+    c1, s1 = x / rho, y / rho
+    cosm = [jnp.ones_like(ct), c1]
+    sinm = [jnp.zeros_like(ct), s1]
+    for m in range(2, lmax + 1):
+        cosm.append(cosm[-1] * c1 - sinm[-1] * s1)
+        sinm.append(sinm[-1] * c1 + cosm[-2] * s1)
 
     # associated Legendre via static recurrences
     P = {}
     P[(0, 0)] = jnp.ones_like(ct)
-    somx2 = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    somx2 = rho  # == sqrt(1 - ct^2) for unit vectors, minus the pole hazard
     for m in range(1, lmax + 1):
         P[(m, m)] = -(2 * m - 1) * somx2 * P[(m - 1, m - 1)]
     for m in range(lmax):
@@ -212,11 +225,11 @@ def spherical_harmonics(
             am = abs(m)
             base = K[l, am] * P[(l, am)]
             if m < 0:
-                val = math.sqrt(2.0) * base * jnp.sin(am * phi)
+                val = math.sqrt(2.0) * base * sinm[am]
             elif m == 0:
                 val = base
             else:
-                val = math.sqrt(2.0) * base * jnp.cos(am * phi)
+                val = math.sqrt(2.0) * base * cosm[am]
             cols.append(val * s4pi)
     return jnp.stack(cols, axis=-1)
 

@@ -98,6 +98,62 @@ def predicted_forces(model, cfg, state, batch):
     return -jax.grad(energy)(batch.pos)
 
 
+def test_mace_force_training_grads_finite(lj_data):
+    """Regression: padding edges (zero-length vectors) must not poison the
+    second-order gradient (params-grad through the inner pos-grad). MACE's
+    1/length spherical-harmonic terms overflow fp32 at |v| -> 0 unless
+    padding-edge geometry is replaced by safe constants
+    (safe_edge_geometry)."""
+    from hydragnn_tpu.train.trainer import make_loss_fn
+
+    config = _config("MACE", num_epoch=1)
+    arch = config["NeuralNetwork"]["Architecture"]
+    arch.update(hidden_dim=8, max_ell=1, node_max_ell=1, correlation=2,
+                num_radial=8)
+    train, val, test = split_dataset(lj_data, 0.8)
+    config = update_config(config, train, val, test)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+    for s in train:
+        s.x[:] = 18.0
+    b0 = collate(train[:4])
+    batch = collate(train[:4], n_node_pad=b0.num_nodes + 64,
+                    n_edge_pad=b0.edge_mask.shape[0] + 128)
+    assert not bool(batch.edge_mask.all()), "need padding edges for this test"
+    opt = select_optimizer(config["NeuralNetwork"]["Training"])
+    state = init_state(model, batch, opt)
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy=True)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats, batch, jax.random.PRNGKey(0), True
+    )
+    assert np.isfinite(float(loss))
+    bad = [
+        p for p, a in jax.tree_util.tree_leaves_with_path(grads)
+        if not bool(jnp.isfinite(a).all())
+    ]
+    assert not bad, f"non-finite grads at {bad}"
+
+
+def test_safe_edge_geometry_zero_second_order():
+    """d2/dpos2 through masked-out edge geometry is exactly 0."""
+    from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
+
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.5, 0.5, 0.0]])
+    senders = jnp.asarray([0, 2, 2], jnp.int32)
+    receivers = jnp.asarray([1, 2, 2], jnp.int32)  # edges 1,2 are padding
+    mask = jnp.asarray([True, False, False])
+
+    def scalar(p):
+        vec, d = get_edge_vectors_and_lengths(
+            p, senders, receivers, edge_mask=mask
+        )
+        # 1/d-style term that would blow up on zero-length padding edges
+        return jnp.sum(vec / d ** 3)
+
+    g = jax.grad(lambda p: jnp.sum(jax.grad(scalar)(p) ** 2))(pos)
+    assert bool(jnp.isfinite(g).all())
+
+
 def test_force_equivariance(lj_data):
     """Rotating positions must rotate predicted forces (ref:
     tests/test_forces_equivariant.py)."""

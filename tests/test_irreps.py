@@ -106,3 +106,19 @@ def test_irreps_parse_and_dims():
     # paths: 0x0->0, 0x1->1, 1x0->1, 1x1->0, 1x1->2(excluded: not in target)
     ls = [mid.items[o][1] for (_, _, o) in ins]
     assert sorted(ls) == [0, 0, 1, 1]
+
+
+def test_sh_pole_gradients_finite():
+    """Regression: arctan2-based azimuth had a NaN gradient for edges along
+    +-z (and the safe padding-edge constant IS unit-z); the Chebyshev
+    formulation must have finite 1st- and 2nd-order grads at the poles."""
+    import jax
+
+    f = lambda u: jnp.sum(spherical_harmonics(3, u) ** 2)
+    for vec in ([0.0, 0.0, 1.0], [0.0, 0.0, -1.0], [1e-8, 0.0, 1.0],
+                [0.0, 0.0, 2.5]):
+        x = jnp.asarray([vec])
+        g1 = jax.grad(f)(x)
+        g2 = jax.grad(lambda u: jnp.sum(jax.grad(f)(u) ** 2))(x)
+        assert bool(jnp.isfinite(g1).all()), vec
+        assert bool(jnp.isfinite(g2).all()), vec
