@@ -203,6 +203,105 @@ def make_eval_step(model: HydraBase, cfg: ArchConfig, compute_grad_energy=False)
     return jax.jit(eval_step)
 
 
+def _eval_error_sums(cfg: ArchConfig, pred, batch: GraphBatch,
+                     compute_grad_energy: bool):
+    """On-device per-head masked error sums (sq, ab, cnt), each [num_heads] —
+    the traced twin of ``evaluate``'s host accumulation."""
+    nh = cfg.num_heads
+    if cfg.var_output:
+        pred = pred[0]
+    if compute_grad_energy:
+        node_e = pred[0][:, 0] * batch.node_mask
+        ge = segment_sum(node_e, batch.node_graph_idx, batch.num_graphs)
+        m = batch.graph_mask.astype(jnp.float32)
+        err = ge - batch.energy
+        sq = jnp.zeros(nh).at[0].set(jnp.sum(err * err * m))
+        ab = jnp.zeros(nh).at[0].set(jnp.sum(jnp.abs(err) * m))
+        cnt = jnp.zeros(nh).at[0].set(jnp.sum(m))
+        return sq, ab, cnt
+    targets = head_targets(cfg, batch)
+    masks = head_masks(cfg, batch)
+    sqs, abs_, cnts = [], [], []
+    for ih in range(nh):
+        p = pred[ih]
+        t = targets[ih].reshape(p.shape)
+        w = masks[ih].astype(jnp.float32).reshape(
+            (-1,) + (1,) * (p.ndim - 1)
+        )
+        sqs.append(jnp.sum((p - t) ** 2 * w))
+        abs_.append(jnp.sum(jnp.abs(p - t) * w))
+        cnts.append(jnp.sum(w) * p.shape[-1])
+    return jnp.stack(sqs), jnp.stack(abs_), jnp.stack(cnts)
+
+
+def make_scan_eval_epoch(model: HydraBase, cfg: ArchConfig,
+                         compute_grad_energy: bool = False):
+    """Whole-chunk ``lax.scan`` evaluation: loss + masked error sums
+    accumulate on device; the host receives six small arrays per chunk
+    instead of per-batch predictions (removes per-step dispatch and
+    device->host prediction transfers — the dominant eval cost on remote
+    TPU links)."""
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy)
+    nh = cfg.num_heads
+
+    def epoch_fn(state: TrainState, stacked_batches: GraphBatch):
+        def body(carry, batch):
+            loss, (tasks, pred, _) = loss_fn(
+                state.params, state.batch_stats, batch,
+                jax.random.PRNGKey(0), False,
+            )
+            sq, ab, cnt = _eval_error_sums(
+                cfg, pred, batch, compute_grad_energy
+            )
+            t = jnp.asarray(tasks)
+            tvec = (
+                jnp.zeros(nh).at[0].set(t[0]) if compute_grad_energy else t
+            )
+            lsum, tsum, sqa, aba, cnta, nb = carry
+            return (lsum + loss, tsum + tvec, sqa + sq, aba + ab,
+                    cnta + cnt, nb + 1.0), None
+
+        init = (jnp.zeros(()), jnp.zeros(nh), jnp.zeros(nh), jnp.zeros(nh),
+                jnp.zeros(nh), jnp.zeros(()))
+        carry, _ = jax.lax.scan(body, init, stacked_batches)
+        return carry
+
+    return jax.jit(epoch_fn)
+
+
+def evaluate_scanned(loader, state, scan_eval_fn, chunk: int,
+                     max_batches=None):
+    """Chunked-scan twin of ``evaluate`` — same return contract. Full chunks
+    run as one device launch; the remainder runs as length-1 scans (bounds
+    compiles to 2 programs)."""
+    total = None
+    pending: List[GraphBatch] = []
+
+    def run(stacked):
+        nonlocal total
+        out = [np.asarray(o, np.float64) for o in scan_eval_fn(state, stacked)]
+        total = out if total is None else [a + b for a, b in zip(total, out)]
+
+    n = 0
+    for batch in loader:
+        if max_batches is not None and n >= max_batches:
+            break
+        pending.append(batch)
+        n += 1
+        if len(pending) == chunk:
+            run(stack_batches(pending))
+            pending = []
+    for b in pending:
+        run(stack_batches([b]))
+    if total is None:
+        return float("nan"), [], [], []
+    lsum, tsum, sq, ab, cnt, nb = total
+    nb = max(float(nb), 1.0)
+    rmse = np.sqrt(sq / np.maximum(cnt, 1.0))
+    mae = ab / np.maximum(cnt, 1.0)
+    return float(lsum) / nb, (tsum / nb).tolist(), rmse.tolist(), mae.tolist()
+
+
 def make_scan_train_epoch(
     model: HydraBase,
     cfg: ArchConfig,
@@ -405,6 +504,11 @@ def train_validate_test(
         if scan_chunk > 1
         else None
     )
+    scan_eval_fn = (
+        make_scan_eval_epoch(model, cfg, compute_grad_energy)
+        if scan_chunk > 1
+        else None
+    )
 
     scheduler = ReduceLROnPlateau()
     early = (
@@ -443,7 +547,11 @@ def train_validate_test(
             )
         tr.stop("train")
         tr.start("validate")
-        if do_valtest:
+        if do_valtest and scan_eval_fn is not None:
+            val_loss, val_tasks, _, _ = evaluate_scanned(
+                val_loader, state, scan_eval_fn, scan_chunk, max_batches
+            )
+        elif do_valtest:
             val_loss, val_tasks, _, _ = evaluate(
                 val_loader, state, eval_step, cfg, compute_grad_energy
             )
@@ -489,9 +597,14 @@ def train_validate_test(
         writer.close()
     if best_state is not None and bool(training.get("Checkpoint", False)):
         state = best_state
-    test_loss, test_tasks, test_rmse, test_mae = evaluate(
-        test_loader, state, eval_step, cfg, compute_grad_energy
-    )
+    if scan_eval_fn is not None:
+        test_loss, test_tasks, test_rmse, test_mae = evaluate_scanned(
+            test_loader, state, scan_eval_fn, scan_chunk
+        )
+    else:
+        test_loss, test_tasks, test_rmse, test_mae = evaluate(
+            test_loader, state, eval_step, cfg, compute_grad_energy
+        )
     results = {
         "history": history,
         "test_loss": test_loss,

@@ -177,3 +177,30 @@ def test_force_equivariance(lj_data):
     f2 = np.asarray(predicted_forces(model, cfg, state, b2))
     m = np.asarray(batch.node_mask)
     np.testing.assert_allclose(f2[m], f1[m] @ Q.T, rtol=1e-3, atol=1e-4)
+
+
+def test_scan_eval_energy_mode_matches(lj_data):
+    """evaluate_scanned reproduces evaluate in compute_grad_energy mode."""
+    from hydragnn_tpu.train.trainer import (
+        evaluate,
+        evaluate_scanned,
+        make_eval_step,
+        make_scan_eval_epoch,
+    )
+
+    config = _config()
+    train, val, test = split_dataset(lj_data, 0.8)
+    config = update_config(config, train, val, test)
+    loaders = create_dataloaders(train, val, test, batch_size=8)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+    batches = list(loaders[0])
+    opt = select_optimizer(config["NeuralNetwork"]["Training"])
+    state = init_state(model, batches[0], opt)
+
+    eval_step = make_eval_step(model, cfg, compute_grad_energy=True)
+    a = evaluate(batches, state, eval_step, cfg, compute_grad_energy=True)
+    scan_fn = make_scan_eval_epoch(model, cfg, compute_grad_energy=True)
+    b = evaluate_scanned(batches, state, scan_fn, chunk=2)
+    for xa, xb in zip(a, b):
+        np.testing.assert_allclose(xa, xb, rtol=1e-5)

@@ -49,3 +49,31 @@ def test_trainer_scan_chunk_and_bf16_options(tmp_path):
     config["NeuralNetwork"]["Training"]["scan_chunk"] = 2
     config["NeuralNetwork"]["Training"]["mixed_precision"] = "bf16"
     _run(config, train, val, test, "GIN", num_epoch=10, thresholds=(1.0, 1.0))
+
+
+def test_scan_eval_matches_evaluate():
+    """Chunked-scan evaluation reproduces the host-accumulated metrics."""
+    from hydragnn_tpu.train.trainer import (
+        evaluate,
+        evaluate_scanned,
+        make_eval_step,
+        make_scan_eval_epoch,
+    )
+
+    cfg = make_cfg("GIN")
+    model = create_model(cfg)
+    batches = [make_batch(seed=i) for i in range(5)]  # 5 = 2 chunks + 1 rest
+    opt = select_optimizer({"Optimizer": {"type": "SGD",
+                                          "learning_rate": 0.01}})
+    state = init_state(model, batches[0], opt)
+
+    eval_step = make_eval_step(model, cfg)
+    loss_a, tasks_a, rmse_a, mae_a = evaluate(batches, state, eval_step, cfg)
+    scan_fn = make_scan_eval_epoch(model, cfg)
+    loss_b, tasks_b, rmse_b, mae_b = evaluate_scanned(
+        batches, state, scan_fn, chunk=2
+    )
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-6)
+    np.testing.assert_allclose(tasks_a, tasks_b, rtol=1e-6)
+    np.testing.assert_allclose(rmse_a, rmse_b, rtol=1e-5)
+    np.testing.assert_allclose(mae_a, mae_b, rtol=1e-5)
