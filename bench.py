@@ -70,17 +70,30 @@ def measure(use_pallas: bool) -> dict:
             m, rd, N, indices_are_sorted=True
         )
 
+    iters = 20
+
+    # Time a scan of `iters` SpMMs inside ONE device program: remote/tunneled
+    # runtimes add O(10ms) dispatch overhead per launch, which swamps the
+    # device time of a ~ms kernel when timed call-by-call. The tiny
+    # out-feedback (x += out * 1e-30) chains iterations so XLA can neither
+    # reorder nor elide them; its cost (N*F adds) is negligible vs E*F.
+    @jax.jit
+    def spmm_loop(x):
+        def body(x, _):
+            out = reduce_fn(x[sd])
+            return x + out * np.float32(1e-30), out[0, 0]
+        x, probe = jax.lax.scan(body, x, None, length=iters)
+        return x, probe
+
     @jax.jit
     def spmm(x):
         return reduce_fn(x[sd])
 
-    x2 = xd * np.float32(1.0000001)
-    out = spmm(xd)
-    out.block_until_ready()
-    iters = 10
+    spmm(xd).block_until_ready()  # compile the single-shot kernel too
+    spmm_loop(xd)[0].block_until_ready()
     t0 = time.perf_counter()
-    outs = [spmm(xd if i % 2 else x2) for i in range(iters)]
-    jax.block_until_ready(outs)
+    xf, probe = spmm_loop(xd * np.float32(1.0000001))
+    jax.block_until_ready((xf, probe))
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = E / dt

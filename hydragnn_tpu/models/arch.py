@@ -65,6 +65,11 @@ class ArchConfig:
     initial_bias: Optional[float] = None
     dropout: float = 0.25
     conv_checkpointing: bool = False
+    # jax.checkpoint rematerialization policy for checkpointed conv layers:
+    # "" (save nothing, default), "dots" (save MXU outputs — recompute only
+    # cheap elementwise ops; the right trade at GFM-scale hidden dims),
+    # "dots_no_batch" (dots_with_no_batch_dims_saveable)
+    remat_policy: str = ""
 
     @property
     def num_heads(self) -> int:
@@ -162,4 +167,5 @@ def arch_config_from_dict(nn_config: Dict[str, Any]) -> ArchConfig:
         freeze_conv=bool(arch.get("freeze_conv_layers", False)),
         initial_bias=arch.get("initial_bias"),
         conv_checkpointing=bool(training.get("conv_checkpointing", False)),
+        remat_policy=str(training.get("remat_policy", "")),
     )

@@ -290,9 +290,26 @@ class HydraBase(nn.Module):
 
         for conv, norm in zip(self.graph_convs, self.feature_layers):
             if cfg.conv_checkpointing:
-                # rematerialize each conv layer (ref: Base.py:459-465)
+                # rematerialize each conv layer (ref: Base.py:459-465);
+                # remat_policy "dots" keeps matmul outputs resident and
+                # recomputes only elementwise ops in the backward pass
+                import jax as _jax
+
+                policies = {
+                    "": None,
+                    "dots": _jax.checkpoint_policies.dots_saveable,
+                    "dots_no_batch":
+                        _jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                }
+                if cfg.remat_policy not in policies:
+                    raise ValueError(
+                        f"unknown remat_policy {cfg.remat_policy!r}; "
+                        f"expected one of {sorted(policies)}"
+                    )
+                policy = policies[cfg.remat_policy]
                 inv, equiv = nn.remat(
-                    lambda mdl, a, b: mdl(a, b, batch, ctx, train=train)
+                    lambda mdl, a, b: mdl(a, b, batch, ctx, train=train),
+                    policy=policy,
                 )(conv, inv, equiv)
             else:
                 inv, equiv = conv(inv, equiv, batch, ctx, train=train)

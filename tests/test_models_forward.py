@@ -232,3 +232,50 @@ def test_flash_attention_matches_dense():
     np.testing.assert_allclose(
         np.asarray(o_dense), np.asarray(o_flash), rtol=2e-4, atol=2e-5
     )
+
+
+def test_performer_approximates_exact_attention():
+    """FAVOR+ parity: with many random features and moderate logits the
+    Performer output must track exact masked softmax attention closely
+    (ROADMAP capability item; ref: torch_geometric PerformerAttention)."""
+    from hydragnn_tpu.models.gps import MaskedGraphAttention, PerformerAttention
+
+    rng = np.random.RandomState(1)
+    samples = []
+    for g in range(4):
+        n = 24
+        ei = np.stack([rng.randint(0, n, 60), rng.randint(0, n, 60)])
+        samples.append(
+            GraphSample(
+                x=rng.randn(n, 1).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=ei,
+                y_graph=rng.randn(1).astype(np.float32),
+            )
+        )
+    batch = collate(samples)
+    # small feature scale keeps softmax logits O(1), where FAVOR+ is accurate
+    x = jnp.asarray(0.3 * rng.randn(batch.num_nodes, 16).astype(np.float32))
+
+    exact = MaskedGraphAttention(16, 2)
+    perf = PerformerAttention(16, 2, num_features=512)
+    v_e = exact.init(jax.random.PRNGKey(0), x, batch)
+    v_p = perf.init(jax.random.PRNGKey(7), x, batch)
+    # share qkv/out_proj so only the attention operator differs
+    v_p = jax.tree_util.tree_map(lambda a: a, v_p)
+    from flax.core import unfreeze, freeze
+
+    vp = unfreeze(v_p)
+    vp["params"]["qkv"] = v_e["params"]["qkv"]
+    vp["params"]["out_proj"] = v_e["params"]["out_proj"]
+    v_p = freeze(vp)
+
+    o_e = np.asarray(exact.apply(v_e, x, batch))
+    o_p = np.asarray(perf.apply(v_p, x, batch))
+    m = np.asarray(batch.node_mask)
+    # relative Frobenius error over valid nodes
+    err = np.linalg.norm(o_p[m] - o_e[m]) / np.linalg.norm(o_e[m])
+    assert err < 0.15, err
+    # and elementwise correlation is strong
+    c = np.corrcoef(o_p[m].ravel(), o_e[m].ravel())[0, 1]
+    assert c > 0.98, c

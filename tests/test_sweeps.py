@@ -120,3 +120,30 @@ def test_conv_checkpointing_matches():
         state, loss, _ = step(state, batch, _jax.random.PRNGKey(0))
         losses.append(float(loss))
     assert abs(losses[0] - losses[1]) < 1e-6
+
+
+def test_conv_checkpointing_remat_policies():
+    """conv_checkpointing + remat_policy train identically to no-remat
+    (rematerialization changes memory, never values)."""
+    import jax
+    from tests.test_models_forward import make_batch, make_cfg
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.optimizer import select_optimizer
+    from hydragnn_tpu.train.trainer import init_state, make_train_step
+
+    batch = make_batch()
+    opt = select_optimizer({"Optimizer": {"type": "SGD",
+                                          "learning_rate": 0.01}})
+    ref_loss = None
+    for ckpt, pol in ((False, ""), (True, ""), (True, "dots"),
+                      (True, "dots_no_batch")):
+        cfg = make_cfg("GIN", conv_checkpointing=ckpt, remat_policy=pol)
+        model = create_model(cfg)
+        state = init_state(model, batch, opt)
+        step = make_train_step(model, cfg, opt)
+        state, loss, _ = step(state, batch, jax.random.PRNGKey(0))
+        state, loss, _ = step(state, batch, jax.random.PRNGKey(0))
+        if ref_loss is None:
+            ref_loss = float(loss)
+        else:
+            np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-6)
