@@ -158,8 +158,14 @@ def segment_sum_csr(msgs: jnp.ndarray, receivers: jnp.ndarray, num_nodes: int):
 
     ``receivers`` MUST be sorted ascending (padding edges point at
     num_nodes-1). Shapes: msgs [E, F], receivers [E]; returns [num_nodes, F].
+
+    Default variant: v2 windowed one-hot, R=1024/T=2048 — fastest exact-fp32
+    config in the honest (scan-timed) sweep on v5e: 4.74 ms vs 5.54 ms v1
+    and 19.4 ms XLA scatter for E=2.1M, F=128 (bench/kernel_sweep.py).
     """
-    return _segment_sum_csr_impl(msgs, receivers, num_nodes)
+    return _segment_sum_csr_impl_v2(
+        msgs, receivers, num_nodes, row_block=1024, edge_tile=2048
+    )
 
 
 F_CHUNK = 256  # max feature width per pallas call (bounds VMEM scratch)
