@@ -1,17 +1,25 @@
 """Benchmark: message-aggregation (SpMM) throughput vs HBM speed-of-light.
 
-North-star metric (BASELINE.md): segment-sum aggregation — THE hot op of every
-message-passing layer — at HBM speed-of-light per chip. Measures the
-framework's aggregation path (Pallas CSR kernel on TPU, XLA segment_sum
-elsewhere) on a representative workload (N=128k nodes, avg degree 16, F=128)
-and reports the achieved fraction of the HBM roofline.
+North-star metric (BASELINE.md): gather + segment-sum aggregation — THE hot
+op of every message-passing layer — as a fraction of the HBM roofline per
+chip.
 
-Robustness: the Pallas kernel's remote Mosaic compile can be slow on tunneled
-TPU setups, so the measurement runs in a time-boxed subprocess and falls back
-to the XLA path if it exceeds the deadline.
+Workload: 1024 graphs x 128 nodes, average degree 16, F=128 (N=131k nodes,
+E=2.1M edges) — the *batched molecular graph* structure this framework (and
+the reference, which trains on atomistic datasets — SURVEY.md §2) actually
+runs: node ids contiguous per graph, edges receiver-sorted, both endpoints of
+every edge inside one graph. An earlier revision of this bench drew senders
+uniformly over all 131k nodes; that is not a graph batch, and XLA's row
+gather is strongly locality-sensitive (5.3 ms graph-local vs ~46 ms global-
+random for the same E), so the old numbers understated the real path ~6x.
 
-Measurement alternates two input buffers — repeated identical-arg calls can
-hit result caching in remote runtimes and read as impossibly fast.
+Measurement: `iters` SpMMs inside ONE lax.scan with a data dependency
+between iterations — per-call timing on tunneled TPU runtimes measures
+dispatch overhead and result-cache hits, not device time.
+
+Robustness: the Pallas kernel's remote Mosaic compile can be slow on
+tunneled TPU setups, so the measurement runs in a time-boxed subprocess and
+falls back to the XLA path if it exceeds the deadline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -47,14 +55,17 @@ def measure(use_pallas: bool) -> dict:
     dev = jax.devices()[0]
     bw = hbm_bandwidth_bytes(dev)
 
-    N = 1 << 17
-    D = 16
+    G, NV, D, F = 1024, 128, 16, 128  # graphs, nodes/graph, avg degree
+    N = G * NV
     E = N * D
-    F = 128
 
     rng = np.random.RandomState(0)
-    receivers = np.sort(rng.randint(0, N, E)).astype(np.int32)
-    senders = rng.randint(0, N, E).astype(np.int32)
+    # batched-graph edge list: receiver-sorted, senders within the same graph
+    gbase = np.repeat(np.arange(G, dtype=np.int64) * NV, NV * D)
+    receivers = (gbase + np.repeat(np.tile(np.arange(NV), G), D)).astype(
+        np.int32
+    )
+    senders = (gbase + rng.randint(0, NV, E)).astype(np.int32)
     x = rng.randn(N, F).astype(np.float32)
 
     xd = jax.device_put(jnp.asarray(x), dev)
@@ -85,11 +96,6 @@ def measure(use_pallas: bool) -> dict:
         x, probe = jax.lax.scan(body, x, None, length=iters)
         return x, probe
 
-    @jax.jit
-    def spmm(x):
-        return reduce_fn(x[sd])
-
-    spmm(xd).block_until_ready()  # compile the single-shot kernel too
     spmm_loop(xd)[0].block_until_ready()
     t0 = time.perf_counter()
     xf, probe = spmm_loop(xd * np.float32(1.0000001))

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
+from hydragnn_tpu.ops.pallas_gather import gather_rows_auto
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -27,7 +28,7 @@ def spmm_sorted(
     num_nodes: int,
 ) -> jnp.ndarray:
     """out[i] = sum_{e: receivers[e]=i} x[senders[e]]; receivers sorted."""
-    msgs = x[senders]
+    msgs = gather_rows_auto(x, senders)
     return segment_sum_auto(msgs, receivers, num_nodes, indices_are_sorted=True)
 
 
@@ -38,8 +39,10 @@ def _fwd(x, senders, receivers, perm_by_sender, num_nodes):
 
 def _bwd(num_nodes, res, g):
     senders, receivers, perm = res
-    # dx[s] = sum over outgoing edges of g[r]: segment-sum sorted by sender
-    g_edges = g[receivers[perm]]
+    # dx[s] = sum over outgoing edges of g[r]: segment-sum sorted by sender.
+    # receivers[perm] is still graph-local (both endpoints share a graph), so
+    # the windowed gather applies here too.
+    g_edges = gather_rows_auto(g, receivers[perm])
     dx = segment_sum_auto(
         g_edges, senders[perm], num_nodes, indices_are_sorted=True
     )
@@ -70,8 +73,9 @@ def _gather_sorted_bwd(x, ids, perm):
     cotangent re-ordered by ``perm`` (which sorts ``ids``; identity when ids
     are already sorted). Plain x[ids] backward is an unsorted XLA scatter-add
     — the slowest op on TPU (measured ~10-30x worse than sorted) and it
-    appears in the backward of EVERY message gather."""
-    return x[ids]
+    appears in the backward of EVERY message gather. The forward routes
+    through the windowed one-hot MXU gather on TPU (graph-local ids)."""
+    return gather_rows_auto(x, ids)
 
 
 def _gather_fwd(x, ids, perm):
