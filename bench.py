@@ -97,10 +97,17 @@ def measure(use_pallas: bool) -> dict:
         return x, probe
 
     spmm_loop(xd)[0].block_until_ready()
-    t0 = time.perf_counter()
-    xf, probe = spmm_loop(xd * np.float32(1.0000001))
-    jax.block_until_ready((xf, probe))
-    dt = (time.perf_counter() - t0) / iters
+    # best of 3 trials with distinct args: the first post-compile execution
+    # on tunneled runtimes runs ~4x slow (kernel/program residency warm-up),
+    # and distinct args defeat remote result caching
+    dt = float("inf")
+    for trial in range(3):
+        arg = xd * np.float32(1.0000001 + trial * 1e-7)
+        jax.block_until_ready(arg)
+        t0 = time.perf_counter()
+        xf, probe = spmm_loop(arg)
+        jax.block_until_ready((xf, probe))
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     edges_per_s = E / dt
     bytes_moved = E * F * 4 + N * F * 4 + E * 8
