@@ -1,0 +1,132 @@
+"""Train-step throughput bench: epoch-in-a-scan on a synthetic batched
+workload (default: the reference's SC25 GFM shape — EGNN, 4 conv layers —
+run-scripts/SC25-job-weak.sh + examples/multibranch/multibranch_GFM260_SC25
+.json: hidden_dim 866, batch 128 graphs/rank).
+
+Timing discipline for tunneled TPU hosts (see bench.py): all S steps run
+inside ONE lax.scan; >=3 trials, report the min; every trial passes a fresh
+rng (fold_in) and the evolving TrainState so no remote result cache can hit.
+
+Usage:
+  python bench/train_step.py                         # EGNN h128 L4 (r1 ref)
+  python bench/train_step.py --hidden 866            # GFM-scale
+  python bench/train_step.py --hidden 866 --bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_batch(n_graphs, n, deg, seed):
+    from hydragnn_tpu.graph import GraphSample, collate
+
+    rng = np.random.RandomState(seed)
+    samples = []
+    recv = np.repeat(np.arange(n, dtype=np.int64), deg)
+    for _ in range(n_graphs):
+        send = rng.randint(0, n, n * deg)
+        samples.append(
+            GraphSample(
+                x=rng.randn(n, 1).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=np.stack([send, recv]),
+                y_graph=rng.randn(1).astype(np.float32),
+            )
+        )
+    return collate(samples)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mpnn_type", default="EGNN")
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--graphs", type=int, default=128)
+    p.add_argument("--nodes", type=int, default=64)
+    p.add_argument("--deg", type=int, default=16)
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--trials", type=int, default=3)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    from hydragnn_tpu.models.arch import ArchConfig, BranchConfig
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.optimizer import select_optimizer
+    from hydragnn_tpu.train.trainer import (
+        init_state,
+        make_scan_train_epoch,
+        stack_batches,
+    )
+
+    cfg = ArchConfig(
+        mpnn_type=args.mpnn_type,
+        input_dim=1,
+        hidden_dim=args.hidden,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=(BranchConfig("branch-0", 2, 50, 2, (50, 25)),),
+        node_branches=(),
+        num_conv_layers=args.layers,
+        num_nodes=args.nodes,
+        max_neighbours=args.deg,
+        radius=5.0,
+        num_radial=5,
+        envelope_exponent=5,
+        num_gaussians=10,
+        num_filters=args.hidden,
+    )
+    model = create_model(cfg)
+    batches = [
+        build_batch(args.graphs, args.nodes, args.deg, seed=s)
+        for s in range(args.steps)
+    ]
+    E = batches[0].senders.shape[0]
+    stacked = stack_batches(batches)
+    opt = select_optimizer({"Optimizer": {"type": "AdamW",
+                                          "learning_rate": 1e-3}})
+    state = init_state(model, batches[0], opt)
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params)
+    )
+    epoch = jax.jit(
+        make_scan_train_epoch(model, cfg, opt, mixed_precision=args.bf16),
+        donate_argnums=(0,),
+    )
+    key = jax.random.PRNGKey(0)
+
+    best = float("inf")
+    losses = None
+    for trial in range(args.trials + 1):  # +1: first is compile+warm
+        rng = jax.random.fold_in(key, trial)
+        t0 = time.perf_counter()
+        state, losses = epoch(state, stacked, rng)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / args.steps
+        tag = "compile+warm" if trial == 0 else f"trial {trial}"
+        print(f"{tag:14s} {dt*1e3:8.2f} ms/step", flush=True)
+        if trial > 0:
+            best = min(best, dt)
+
+    l0, l1 = float(np.asarray(losses)[0]), float(np.asarray(losses)[-1])
+    print(
+        f"\n{args.mpnn_type} h{args.hidden} L{args.layers} "
+        f"B={args.graphs}x{args.nodes} E={E} params={n_params/1e6:.1f}M "
+        f"{'bf16' if args.bf16 else 'fp32'}:\n"
+        f"  {best*1e3:.1f} ms/step  {E/best/1e6:.2f} Medges/s  "
+        f"losses[0]={l0:.4f} -> losses[-1]={l1:.4f} (must evolve)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

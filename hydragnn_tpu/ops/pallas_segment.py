@@ -1,9 +1,10 @@
 """Pallas TPU kernel: CSR segment-sum (message aggregation) on the MXU.
 
 Motivation: XLA's scatter-add lowering for ``jax.ops.segment_sum`` achieves
-~4% of HBM speed-of-light on TPU for typical GNN workloads (measured v5e:
-31 ms for E=2.1M, F=128 — 0.067 Gedges/s). This kernel reformulates the
-sorted-edge segment reduction as one-hot x message matmuls on the MXU:
+~6% of HBM speed-of-light on TPU for typical GNN workloads (measured v5e,
+scan-timed: 19.4 ms for E=2.1M, F=128). This kernel reformulates the
+sorted-edge segment reduction as one-hot x message matmuls on the MXU
+(4.7 ms for the same workload — 4.1x):
 
     out[rows R_b] += OneHot^T[R_b, 128] @ msgs[128, F]    per 128-edge subrow
 

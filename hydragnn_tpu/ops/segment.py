@@ -23,7 +23,7 @@ def segment_sum(
     indices_are_sorted: bool = True,
 ) -> jnp.ndarray:
     """Sorted 2-D float reductions with 128-multiple features route through
-    the Pallas CSR MXU kernel on TPU (4.7x over XLA scatter, exact fp32);
+    the Pallas CSR MXU kernel on TPU (4.1x over XLA scatter, exact fp32);
     everything else uses XLA segment_sum."""
     if (
         indices_are_sorted
