@@ -1,0 +1,149 @@
+"""Per-layer activation parity vs independent plain-PyTorch references.
+
+BASELINE.md accuracy target: "match PyTorch reference per-layer activations
+(allclose)". torch_geometric is not installed in this hermetic image, so the
+reference layers are re-implemented here in plain torch following the
+reference's own semantics (cited per test), weights are COPIED from the flax
+modules, and activations must agree to fp32 tolerance on identical inputs.
+This cross-checks arithmetic (gather/scatter orientation, RBF/cutoff
+formulas, MLP wiring) through an independent framework.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tests.test_models_forward import make_batch
+
+
+def _dense_to_linear(p, lin):
+    """Copy flax Dense params {kernel [in,out], bias [out]} into a torch
+    Linear (weight [out,in])."""
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        if lin.bias is not None and "bias" in p:
+            lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+    return lin
+
+
+def _real_edges(batch):
+    em = np.asarray(batch.edge_mask)
+    return (
+        np.asarray(batch.senders)[em],
+        np.asarray(batch.receivers)[em],
+    )
+
+
+def test_gin_conv_matches_torch():
+    """GINConv: out = mlp((1+eps) x + sum_{j in N(i)} x_j)
+    (ref: models/GINStack.py:26-49 via PyG GINConv, train_eps, eps=100)."""
+    from hydragnn_tpu.models.gin import GINConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=0)
+    inv = batch.x
+    conv = GINConv(8, 16)
+    variables = conv.init(jax.random.PRNGKey(0), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    x_t = torch.from_numpy(np.asarray(inv))
+    lin0 = _dense_to_linear(p["mlp_0"], torch.nn.Linear(8, 16))
+    lin1 = _dense_to_linear(p["mlp_1"], torch.nn.Linear(16, 16))
+    eps = float(np.asarray(p["eps"]))
+    agg = torch.zeros_like(x_t)
+    agg.index_add_(0, torch.from_numpy(r.astype(np.int64)), x_t[s])
+    want = lin1(torch.relu(lin0((1.0 + eps) * x_t + agg)))
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_schnet_cfconv_matches_torch():
+    """CFConv: W = mlp(gauss_rbf(d)) * cosine_cutoff(d);
+    out = lin2(sum_j lin1(x_j) * W_ij)
+    (ref: models/SCFStack.py:214-290 / PyG schnet CFConv)."""
+    from hydragnn_tpu.models.schnet import CFConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=1)
+    inv = batch.x
+    cutoff, ng, nf = 5.0, 10, 16
+    conv = CFConv(8, 16, num_filters=nf, num_gaussians=ng, cutoff=cutoff)
+    variables = conv.init(jax.random.PRNGKey(1), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    pos = np.asarray(batch.pos)
+    d = np.sqrt(((pos[r] - pos[s]) ** 2).sum(-1) + 1e-24)
+    offs = np.linspace(0.0, cutoff, ng)
+    coeff = -0.5 / (offs[1] - offs[0]) ** 2
+    rbf = torch.from_numpy(
+        np.exp(coeff * (d[:, None] - offs[None, :]) ** 2).astype(np.float32)
+    )
+    C = torch.from_numpy(
+        (0.5 * (np.cos(d * math.pi / cutoff) + 1.0)).astype(np.float32)
+    )
+    mlp0 = _dense_to_linear(p["mlp_0"], torch.nn.Linear(ng, nf))
+    mlp1 = _dense_to_linear(p["mlp_1"], torch.nn.Linear(nf, nf))
+    lin1 = _dense_to_linear(p["lin1"], torch.nn.Linear(8, nf, bias=False))
+    lin2 = _dense_to_linear(p["lin2"], torch.nn.Linear(nf, 16))
+    ssp = lambda v: torch.nn.functional.softplus(v) - math.log(2.0)
+    W = mlp1(ssp(mlp0(rbf))) * C[:, None]
+    x_t = torch.from_numpy(np.asarray(inv))
+    msg = lin1(x_t)[s] * W
+    agg = torch.zeros(inv.shape[0], nf)
+    agg.index_add_(0, torch.from_numpy(r.astype(np.int64)), msg)
+    want = lin2(agg)
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_egnn_layer_matches_torch():
+    """E_GCL: m_ij = mlp2(relu(mlp1([x_i, x_j, d_ij]))); messages
+    row-aggregated into SOURCE nodes; h = node_mlp([x, sum m])
+    (ref: models/EGCLStack.py:175-298, edge_model/node_model)."""
+    from hydragnn_tpu.models.egnn import E_GCL
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=2)
+    inv = batch.x
+    hd = 16
+    conv = E_GCL(8, 12, hidden_dim=hd, edge_dim=0, equivariant=False)
+    variables = conv.init(jax.random.PRNGKey(2), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    pos = np.asarray(batch.pos)
+    d = np.sqrt(((pos[r] - pos[s]) ** 2).sum(-1) + 1e-24).astype(np.float32)
+    x_t = torch.from_numpy(np.asarray(inv))
+    e0 = _dense_to_linear(p["edge_mlp_0"], torch.nn.Linear(8 + 8 + 1, hd))
+    e1 = _dense_to_linear(p["edge_mlp_1"], torch.nn.Linear(hd, hd))
+    n0 = _dense_to_linear(p["node_mlp_0"], torch.nn.Linear(8 + hd, hd))
+    n1 = _dense_to_linear(p["node_mlp_1"], torch.nn.Linear(hd, 12))
+    m_in = torch.cat(
+        [x_t[s], x_t[r], torch.from_numpy(d[:, None])], dim=1
+    )
+    m = torch.relu(e1(torch.relu(e0(m_in))))
+    agg = torch.zeros(inv.shape[0], hd)
+    agg.index_add_(0, torch.from_numpy(s.astype(np.int64)), m)
+    want = n1(torch.relu(n0(torch.cat([x_t, agg], dim=1))))
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
