@@ -73,12 +73,15 @@ def measure(use_pallas: bool) -> dict:
     rd = jax.device_put(jnp.asarray(receivers), dev)
 
     if use_pallas:
-        from hydragnn_tpu.ops.pallas_segment import segment_sum_csr
+        # FUSED adjacency-block SpMM kernel: gather+reduce in one pass, no
+        # [E, F] message intermediate in HBM (ops/pallas_spmm.py)
+        from hydragnn_tpu.ops.pallas_spmm import _spmm_fused_impl
 
-        reduce_fn = lambda m: segment_sum_csr(m, rd, N)
+        wd = jnp.ones((E,), jnp.float32)
+        spmm_fn = lambda v: _spmm_fused_impl(v, sd, rd, wd, N)
     else:
-        reduce_fn = lambda m: jax.ops.segment_sum(
-            m, rd, N, indices_are_sorted=True
+        spmm_fn = lambda v: jax.ops.segment_sum(
+            v[sd], rd, N, indices_are_sorted=True
         )
 
     iters = 20
@@ -91,7 +94,7 @@ def measure(use_pallas: bool) -> dict:
     @jax.jit
     def spmm_loop(x):
         def body(x, _):
-            out = reduce_fn(x[sd])
+            out = spmm_fn(x)
             return x + out * np.float32(1e-30), out[0, 0]
         x, probe = jax.lax.scan(body, x, None, length=iters)
         return x, probe

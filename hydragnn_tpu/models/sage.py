@@ -10,7 +10,7 @@ import flax.linen as nn
 
 from hydragnn_tpu.graph import GraphBatch
 from hydragnn_tpu.models.base import HydraBase
-from hydragnn_tpu.ops.segment import segment_mean
+from hydragnn_tpu.ops.segment import gather_scatter_mean
 
 
 class SAGEConv(nn.Module):
@@ -19,9 +19,10 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
-        msg = batch.gather_src(inv)
-        agg = segment_mean(
-            msg, batch.receivers, inv.shape[0], mask=batch.edge_mask
+        agg = gather_scatter_mean(
+            inv, batch.senders, batch.receivers, inv.shape[0],
+            edge_mask=batch.edge_mask,
+            perm_by_sender=batch.edge_perm_by_sender,
         )
         h = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(
             self.out_dim, use_bias=False, name="lin_r"

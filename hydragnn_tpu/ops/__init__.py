@@ -7,5 +7,6 @@ from hydragnn_tpu.ops.segment import (
     segment_softmax,
     masked_segment_mean,
     gather_scatter_sum,
+    gather_scatter_mean,
     degree,
 )

@@ -1,0 +1,472 @@
+"""Pallas TPU kernel: FUSED SpMM — out[i] = sum_e w_e * x[senders_e] — as
+adjacency-block matmuls on the MXU, with no [E, F] intermediate in HBM.
+
+This fuses the two halves of the message-aggregation hot path (the gather and
+the segment reduction of PyG's ``MessagePassing.propagate`` contract — ref:
+hydragnn/models/Base.py conv loop, torch_scatter at Base.py:18) into ONE
+kernel. The unfused pipeline (ops/pallas_gather.py + ops/pallas_segment.py)
+moves the [E, F] message array through HBM twice (write after gather, read
+before reduce) and spends 2*E*max(R,W)*F MXU FLOPs per one-hot matmul. The
+fused form exploits that both one-hots are contracted over the same edge
+axis:
+
+    out[rows R] += OneHotRecv[R, T] @ (w ⊙ OneHotSend)[T, W] @ x_window[W, F]
+                 = A[R, W] @ x_window[W, F]        per edge tile T
+
+where A is the (weighted) adjacency block between the tile's receiver rows
+and its sender window — tiny (R_SUB x W), computed on the MXU from the two
+one-hots at 2*R_SUB*T*W FLOPs, then applied to the node-feature window at
+2*R_SUB*W*F. For avg-degree-16 molecular batches this is ~4x fewer MXU FLOPs
+and ~10x less HBM traffic than gather+reduce (node windows stream once
+instead of E message rows twice).
+
+Locality contract (same as pallas_gather.py): collate assigns each graph a
+contiguous node-id range and sorts edges by receiver, so any T-edge tile's
+senders span a bounded node window. Window bases are computed per tile on
+device; one predicate checks every tile fits and falls back to the unfused
+XLA path otherwise (``lax.cond``) — the kernel is always correct, locality
+only affects speed.
+
+Precision: one-hots are exact in bf16; A is accumulated in fp32 on the MXU.
+A itself and x are then split into bf16 mantissa chunks (A: 2 chunks — exact
+for edge-multiplicity counts < 2^16 and for 16-bit-split weights; x: 3 chunks
+= exact fp32), giving products bit-equivalent to an fp32 matmul with fp32
+accumulation. Weights (edge masks are weights ∈ {0,1}) multiply into the
+receiver one-hot per bf16 chunk; ``weight_passes=2`` reconstructs fp32
+weights exactly, ``1`` suffices for 0/1 masks.
+
+Backward: dx[s] = sum_e w_e g[recv_e] is the same fused op with the edge
+roles swapped and edges re-sorted by sender (host-precomputed
+``edge_perm_by_sender``); dw_e = <g[r_e], x[s_e]> is an SDDMM evaluated with
+plain gathers (only when weights require gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+# defaults from the on-chip sweep (bench/fused_spmm_sweep.py, v5e, E=2.1M
+# F=128 deg-16 batched graphs): T=1024 beats 2048/512 (3.46 ms vs 3.9/4.0);
+# W=160 is fastest (3.13 ms) but W=256 is kept for robustness — it covers
+# per-tile sender spans up to 256 rows (graphs to ~192 nodes) before the
+# whole-call XLA fallback triggers.
+ROW_BLOCK = 1024  # output rows per program
+EDGE_TILE = 1024  # edges per inner tile
+WINDOW = 256  # sender-window rows per tile
+R_SUB = 64  # receiver-window rows per adjacency block
+ALIGN = 32  # window base alignment (covers f32 [8,128] and bf16 [16,128])
+X_PASSES = 3  # bf16 split terms for x (3 = exact fp32)
+A_PASSES = 2  # bf16 split terms for the adjacency block
+NBUF = 4  # DMA pipeline depth
+F_CHUNK = 256  # max feature width per pallas call (bounds VMEM scratch)
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _split_bf16(v, passes):
+    """Exact bf16 mantissa-chunk decomposition of an fp32 array."""
+    terms = []
+    rem = v
+    for _ in range(passes):
+        t = rem.astype(jnp.bfloat16)
+        rem = rem - t.astype(jnp.float32)
+        terms.append(t)
+    return terms
+
+
+def _fused_kernel(
+    row_ptr_ref,  # scalar prefetch: [num_blocks + 1] edge offsets per block
+    sbase_ref,  # scalar prefetch: [num_tiles] sender-window base per tile
+    send_ref,  # [E_pad // 128, 128] int32 (HBM)
+    recv_ref,  # [E_pad // 128, 128] int32 (HBM)
+    w_ref,  # [E_pad // 128, 128] f32 (HBM)
+    x_ref,  # [N_pad, F] float (HBM)
+    out_ref,  # [row_block, F] (VMEM)
+    acc_ref,  # [row_block, F] f32 VMEM scratch
+    x_scratch,  # [NBUF, window, F] VMEM
+    send_scratch,  # [NBUF, sub, 128] VMEM
+    recv_scratch,  # [NBUF, sub, 128] VMEM
+    w_scratch,  # [NBUF, sub, 128] VMEM
+    sems,  # DMA sems [NBUF, 4]
+    *,
+    row_block: int,
+    edge_tile: int,
+    window: int,
+    x_passes: int,
+    a_passes: int,
+    w_passes: int,
+):
+    sub = edge_tile // LANES
+    b = pl.program_id(0)
+    start = row_ptr_ref[b]
+    end = row_ptr_ref[b + 1]
+    row_base = b * row_block
+    t0 = start // edge_tile
+    t1 = jnp.maximum(pl.cdiv(end, edge_tile), t0)
+
+    def get_dma(slot, t):
+        base = pl.multiple_of(sbase_ref[t], ALIGN)
+        return (
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(base, window), :],
+                x_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                send_ref.at[pl.ds(t * sub, sub), :],
+                send_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                recv_ref.at[pl.ds(t * sub, sub), :],
+                recv_scratch.at[slot],
+                sems.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                w_ref.at[pl.ds(t * sub, sub), :],
+                w_scratch.at[slot],
+                sems.at[slot, 3],
+            ),
+        )
+
+    for k in range(NBUF - 1):
+        @pl.when(t0 + k < t1)
+        def _(k=k):
+            for d in get_dma(k, t0 + k):
+                d.start()
+
+    acc_ref[:] = jnp.zeros((row_block, out_ref.shape[1]), jnp.float32)
+    win_rows = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, LANES), 0)
+    send_rows = jax.lax.broadcasted_iota(jnp.int32, (window, LANES), 0)
+    fp32_in = x_ref.dtype == jnp.float32
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t0, NBUF)
+        nxt = jax.lax.rem(t - t0 + NBUF - 1, NBUF)
+
+        @pl.when(t + NBUF - 1 < t1)
+        def _():
+            for d in get_dma(nxt, t + NBUF - 1):
+                d.start()
+
+        for d in get_dma(slot, t):
+            d.wait()
+
+        send_tile = send_scratch[slot]  # [sub, 128]
+        recv_tile = recv_scratch[slot]
+        w_tile = w_scratch[slot]  # [sub, 128] f32
+        sbase = sbase_ref[t]
+
+        # sender one-hot [window, T]: column e is 1 at row senders[e] - sbase
+        oh_s = jnp.concatenate(
+            [
+                (send_rows + sbase == send_tile[si : si + 1, :]).astype(
+                    jnp.bfloat16
+                )
+                for si in range(sub)
+            ],
+            axis=1,
+        )  # [W, T]
+
+        if w_passes > 1:
+            w_terms = _split_bf16(w_tile, w_passes)
+        else:
+            w_terms = [w_tile.astype(jnp.bfloat16)]
+
+        x_win = x_scratch[slot]
+        if fp32_in and x_passes > 1:
+            x_terms = _split_bf16(x_win, x_passes)
+        else:
+            x_terms = [x_win.astype(jnp.bfloat16)]
+
+        # this tile's receiver row span within the block (sorted receivers)
+        lo = jnp.clip(recv_tile[0, 0] - row_base, 0, row_block - R_SUB)
+        hi = jnp.clip(
+            recv_tile[sub - 1, LANES - 1] - row_base, 0, row_block - 1
+        )
+        lo = (lo // R_SUB) * R_SUB
+        n_win = jnp.clip((hi - lo) // R_SUB + 1, 1, row_block // R_SUB)
+
+        def win_body(wi, _):
+            off = lo + wi * R_SUB
+            a = jnp.zeros((R_SUB, window), jnp.float32)
+            for wt in w_terms:
+                # weighted receiver one-hot [R_SUB, T]
+                oh_r = jnp.concatenate(
+                    [
+                        (
+                            win_rows + row_base + off
+                            == recv_tile[si : si + 1, :]
+                        ).astype(jnp.bfloat16)
+                        * wt[si : si + 1, :]
+                        for si in range(sub)
+                    ],
+                    axis=1,
+                )
+                # adjacency block A[R_SUB, W]: contract over the edge axis
+                a = a + jax.lax.dot_general(
+                    oh_r,
+                    oh_s,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            a_terms = _split_bf16(a, a_passes)
+            part = jnp.zeros((R_SUB, out_ref.shape[1]), jnp.float32)
+            for at in a_terms:
+                for xt in x_terms:
+                    part = part + jax.lax.dot_general(
+                        at,
+                        xt,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            acc_ref[pl.ds(off, R_SUB), :] = (
+                acc_ref[pl.ds(off, R_SUB), :] + part
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_win, win_body, 0)
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _spmm_pallas(
+    x_pad, send_pad, recv_pad, w_pad, sbases, num_blocks,
+    row_block, edge_tile, window, x_passes, a_passes, w_passes,
+):
+    E_pad = send_pad.shape[0]
+    F = x_pad.shape[1]
+    N_pad = num_blocks * row_block
+
+    block_rows = jnp.arange(num_blocks + 1, dtype=jnp.int32) * row_block
+    row_ptr = jnp.searchsorted(recv_pad, block_rows, side="left").astype(
+        jnp.int32
+    )
+    row_ptr = jnp.minimum(row_ptr, E_pad)
+
+    send2d = send_pad.reshape(E_pad // LANES, LANES)
+    recv2d = recv_pad.reshape(E_pad // LANES, LANES)
+    w2d = w_pad.reshape(E_pad // LANES, LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # send
+            pl.BlockSpec(memory_space=pltpu.ANY),  # recv
+            pl.BlockSpec(memory_space=pltpu.ANY),  # w
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x
+        ],
+        out_specs=pl.BlockSpec(
+            (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((row_block, F), jnp.float32),
+            pltpu.VMEM((NBUF, window, F), x_pad.dtype),
+            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.int32),
+            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.int32),
+            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 4)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fused_kernel,
+            row_block=row_block,
+            edge_tile=edge_tile,
+            window=window,
+            x_passes=x_passes,
+            a_passes=a_passes,
+            w_passes=w_passes,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_pad, F), x_pad.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E_pad * (window + F) * R_SUB // 16,
+            bytes_accessed=N_pad * F * 8 + E_pad * 12,
+            transcendentals=0,
+        ),
+    )(row_ptr, sbases, send2d, recv2d, w2d, x_pad)
+
+
+def _spmm_fused_impl(
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_nodes: int,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = EDGE_TILE,
+    window: int = WINDOW,
+    x_passes: int = X_PASSES,
+    a_passes: int = A_PASSES,
+    w_passes: int = 1,
+):
+    """out[i] = sum_{e: receivers[e]==i} weights[e] * x[senders[e]].
+
+    ``receivers`` sorted ascending. Falls back to XLA gather+segment_sum when
+    any edge tile's sender span exceeds ``window`` (runtime predicate).
+    """
+    E = senders.shape[0]
+    N, F = x.shape
+    if F > F_CHUNK:
+        parts = [
+            _spmm_fused_impl(
+                x[:, i : i + F_CHUNK], senders, receivers, weights, num_nodes,
+                row_block, edge_tile, window, x_passes, a_passes, w_passes,
+            )
+            for i in range(0, F, F_CHUNK)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
+    N_pad = max(_round_up(num_nodes, row_block), window)
+    N_pad = _round_up(N_pad, row_block)
+    E_pad = _round_up(E, edge_tile)
+    num_blocks = N_pad // row_block
+
+    x_pad = jnp.pad(x, ((0, N_pad - N), (0, 0))) if N_pad != N else x
+    if E_pad != E:
+        # pad senders with the last real sender (keeps windows tight),
+        # receivers with an out-of-range sentinel, weights with 0
+        send_pad = jnp.concatenate(
+            [senders, jnp.broadcast_to(senders[-1:], (E_pad - E,))]
+        ).astype(jnp.int32)
+        recv_pad = jnp.pad(
+            receivers, (0, E_pad - E), constant_values=np.int32(2**31 - 2)
+        ).astype(jnp.int32)
+        w_pad = jnp.pad(weights.astype(jnp.float32), (0, E_pad - E))
+    else:
+        send_pad = senders.astype(jnp.int32)
+        recv_pad = receivers.astype(jnp.int32)
+        w_pad = weights.astype(jnp.float32)
+
+    st = send_pad.reshape(E_pad // edge_tile, edge_tile)
+    mn = jnp.min(st, axis=1)
+    mx = jnp.max(st, axis=1)
+    sbases = jnp.clip(
+        (mn // ALIGN) * ALIGN, 0, max(N_pad - window, 0)
+    ).astype(jnp.int32)
+    ok = jnp.all(mx - sbases < window)
+
+    def fallback():
+        msgs = x_pad[send_pad] * w_pad[:, None].astype(x_pad.dtype)
+        return jax.ops.segment_sum(
+            msgs, recv_pad, N_pad, indices_are_sorted=True
+        )
+
+    out = jax.lax.cond(
+        ok,
+        lambda: _spmm_pallas(
+            x_pad, send_pad, recv_pad, w_pad, sbases, num_blocks,
+            row_block, edge_tile, window, x_passes, a_passes, w_passes,
+        ),
+        fallback,
+    )
+    return out[:num_nodes]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def spmm_onehot(
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    weights: jnp.ndarray,
+    perm_by_sender: jnp.ndarray,
+    num_nodes: int,
+    diff_weights: bool = False,
+    w_passes: int = 1,
+):
+    """Fused weighted SpMM with kernel-fast backward.
+
+    out[i] = sum_{e: receivers[e]==i} weights[e] * x[senders[e]].
+    ``receivers`` must be sorted ascending; ``perm_by_sender`` sorts edges by
+    sender (GraphBatch.edge_perm_by_sender) so the backward runs the same
+    fused kernel. Set ``diff_weights=True`` to also get d/d(weights) (SDDMM);
+    leave False for masks. ``w_passes=1`` is exact for 0/1 masks; use 2 for
+    real-valued fp32 weights.
+    """
+    return _spmm_fused_impl(
+        x, senders, receivers, weights, num_nodes, w_passes=w_passes
+    )
+
+
+def _fwd(x, senders, receivers, weights, perm, num_nodes, diff_weights,
+         w_passes):
+    out = _spmm_fused_impl(
+        x, senders, receivers, weights, num_nodes, w_passes=w_passes
+    )
+    res = (x if diff_weights else None, senders, receivers, weights, perm)
+    return out, res
+
+
+def _bwd(num_nodes, diff_weights, w_passes, res, g):
+    x, senders, receivers, weights, perm = res
+    # dx[s] = sum over outgoing edges of w_e * g[r]: the same fused op with
+    # the edge direction flipped, edges sorted by sender.
+    dx = _spmm_fused_impl(
+        g, receivers[perm], senders[perm], weights[perm], num_nodes,
+        w_passes=w_passes,
+    )
+    if diff_weights:
+        dw = jnp.sum(g[receivers] * x[senders], axis=-1)
+    else:
+        dw = jnp.zeros_like(weights)
+    return (dx, None, None, dw, None)
+
+
+spmm_onehot.defvjp(_fwd, _bwd)
+
+
+def spmm_fused_auto(
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    num_nodes: int,
+    weights: Optional[jnp.ndarray] = None,
+    edge_mask: Optional[jnp.ndarray] = None,
+    perm_by_sender: Optional[jnp.ndarray] = None,
+) -> Optional[jnp.ndarray]:
+    """Route an SpMM through the fused adjacency kernel when eligible;
+    returns None when the unfused path should be used instead."""
+    eligible = (
+        x.ndim == 2
+        and x.shape[1] % LANES == 0
+        and x.dtype in (jnp.float32, jnp.bfloat16)
+        and perm_by_sender is not None
+        and senders.shape[0] >= 2 * EDGE_TILE
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+    if not eligible:
+        return None
+    w = None
+    diff_weights = False
+    w_passes = 1
+    if weights is not None:
+        w = weights.astype(jnp.float32)
+        diff_weights = True
+        w_passes = 2
+    if edge_mask is not None:
+        m = edge_mask.astype(jnp.float32)
+        w = m if w is None else w * m
+    if w is None:
+        w = jnp.ones(senders.shape, jnp.float32)
+    return spmm_onehot(
+        x, senders, receivers, w, perm_by_sender, num_nodes, diff_weights,
+        w_passes,
+    )
