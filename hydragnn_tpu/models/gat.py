@@ -79,7 +79,11 @@ class GATv2Conv(nn.Module):
             keep = jax.random.bernoulli(rng_key, 1 - self.dropout, alpha_e.shape)
             alpha_e = alpha_e * keep / (1 - self.dropout)
 
-        out = segment_sum(alpha_e[..., None] * batch.gather_src(x_l), r, N)
+        # gather + aggregate flattened to [*, H*C]: 2-D sorted segment ops
+        # route through the Pallas CSR kernel (3-D fall back to XLA scatter)
+        msgs = batch.gather_src(x_l.reshape(N, H * C)).reshape(-1, H, C)
+        msgs = (alpha_e[..., None] * msgs).reshape(-1, H * C)
+        out = segment_sum(msgs, r, N).reshape(N, H, C)
         out = out + alpha_s[..., None] * x_l
 
         if self.concat:

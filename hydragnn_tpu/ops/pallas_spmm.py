@@ -365,10 +365,13 @@ def _spmm_fused_impl(
     ok = jnp.all(mx - sbases < window)
 
     def fallback():
+        # sender locality violated (e.g. one giant graph): the adjacency
+        # block would be too wide to pay off, so run the unfused pipeline —
+        # XLA gather + the CSR segment-sum kernel (ops/pallas_segment.py)
+        from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
+
         msgs = x_pad[send_pad] * w_pad[:, None].astype(x_pad.dtype)
-        return jax.ops.segment_sum(
-            msgs, recv_pad, N_pad, indices_are_sorted=True
-        )
+        return segment_sum_auto(msgs, recv_pad, N_pad)
 
     out = jax.lax.cond(
         ok,
@@ -443,7 +446,12 @@ def spmm_fused_auto(
     perm_by_sender: Optional[jnp.ndarray] = None,
 ) -> Optional[jnp.ndarray]:
     """Route an SpMM through the fused adjacency kernel when eligible;
-    returns None when the unfused path should be used instead."""
+    returns None when the unfused path should be used instead.
+    ``HYDRAGNN_TPU_FUSED_SPMM=0`` disables the route (A/B + debugging)."""
+    import os
+
+    if os.environ.get("HYDRAGNN_TPU_FUSED_SPMM", "1") == "0":
+        return None
     eligible = (
         x.ndim == 2
         and x.shape[1] % LANES == 0
