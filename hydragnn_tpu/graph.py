@@ -87,6 +87,10 @@ class GraphBatch:
     # permutation sorting edges by sender — lets the backward scatter of
     # gather ops reuse the sorted-CSR Pallas kernel (ops/pallas_segment.py)
     edge_perm_by_sender: Optional[jnp.ndarray] = None  # [E] int32
+    # its inverse (inv[perm] = arange): makes the backward of data[perm] a
+    # GATHER by the inverse instead of an unsorted scatter (~2 ms/op on v5e
+    # at E=131k — one per conv layer in sender-aggregating stacks)
+    edge_perm_by_sender_inv: Optional[jnp.ndarray] = None  # [E] int32
 
     @property
     def num_nodes(self) -> int:
@@ -270,6 +274,10 @@ def collate(
             rel_pe = rel_pe[order]
 
     perm_by_sender = np.argsort(senders).astype(np.int32)
+    perm_by_sender_inv = np.empty_like(perm_by_sender)
+    perm_by_sender_inv[perm_by_sender] = np.arange(
+        perm_by_sender.shape[0], dtype=np.int32
+    )
 
     # single batched device_put for all fields (one dispatch, not 14)
     host = dict(
@@ -278,6 +286,7 @@ def collate(
         edge_mask=edge_mask, graph_mask=graph_mask, n_node=n_node,
         dataset_id=dataset_id, edge_shifts=edge_shifts,
         edge_perm_by_sender=perm_by_sender,
+        edge_perm_by_sender_inv=perm_by_sender_inv,
     )
     for name, arr in (("edge_attr", edge_attr), ("graph_y", graph_y),
                       ("node_y", node_y), ("energy", energy),
@@ -296,6 +305,6 @@ def collate(
         **{k: dev[k] for k in (
             "x", "pos", "senders", "receivers", "node_graph_idx",
             "node_mask", "edge_mask", "graph_mask", "n_node", "dataset_id",
-            "edge_shifts", "edge_perm_by_sender",
+            "edge_shifts", "edge_perm_by_sender", "edge_perm_by_sender_inv",
         )},
     )

@@ -63,7 +63,10 @@ class E_GCL(nn.Module):
 
         # aggregate messages into SOURCE nodes (ref: E_GCL.node_model row-aggr);
         # sender-sorted permutation unlocks the Pallas sorted kernel
-        agg = segment_sum_via_perm(m, s, N, batch.edge_perm_by_sender)
+        agg = segment_sum_via_perm(
+            m, s, N, batch.edge_perm_by_sender,
+            batch.edge_perm_by_sender_inv,
+        )
         h = jnp.concatenate([inv, agg], axis=-1)
         h = jax.nn.relu(nn.Dense(self.hidden_dim, name="node_mlp_0")(h))
         h = nn.Dense(self.out_dim, name="node_mlp_1")(h)

@@ -65,8 +65,9 @@ class PainnMessage(nn.Module):
         msg_v = msg_v * em[:, None, None].astype(msg_v.dtype)
         N = s_feat.shape[0]
         perm = batch.edge_perm_by_sender
-        res_s = segment_sum_via_perm(msg_s, dst_scatter, N, perm)
-        res_v = segment_sum_via_perm(msg_v, dst_scatter, N, perm)
+        inv = batch.edge_perm_by_sender_inv
+        res_s = segment_sum_via_perm(msg_s, dst_scatter, N, perm, inv)
+        res_v = segment_sum_via_perm(msg_v, dst_scatter, N, perm, inv)
         return s_feat + res_s, v_feat + res_v
 
 

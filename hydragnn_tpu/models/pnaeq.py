@@ -91,7 +91,10 @@ class PNAEqMessage(nn.Module):
         out = jnp.concatenate([x, out], axis=-1)
         delta_x = nn.Dense(F_in, name="post_nn")(out)
 
-        delta_v = segment_sum_via_perm(msg_v, src, N, batch.edge_perm_by_sender)
+        delta_v = segment_sum_via_perm(
+            msg_v, src, N, batch.edge_perm_by_sender,
+            batch.edge_perm_by_sender_inv,
+        )
         return x + delta_x, v + delta_v
 
 

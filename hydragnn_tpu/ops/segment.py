@@ -148,21 +148,50 @@ def segment_softmax(
     return unnorm / denom[segment_ids]
 
 
+@jax.custom_vjp
+def permute_rows(data: jnp.ndarray, perm: jnp.ndarray,
+                 inv_perm: jnp.ndarray) -> jnp.ndarray:
+    """``data[perm]`` whose backward is ``g[inv_perm]`` — a gather by the
+    host-precomputed inverse permutation. The default backward of a
+    permutation gather is an XLA scatter-add, which costs ~2 ms/op on v5e at
+    E=131k regardless of feature width (latency-bound) and appears once per
+    conv layer in sender-aggregating stacks."""
+    return data[perm]
+
+
+def _permute_fwd(data, perm, inv_perm):
+    return data[perm], inv_perm
+
+
+def _permute_bwd(inv_perm, g):
+    return (g[inv_perm], None, None)
+
+
+permute_rows.defvjp(_permute_fwd, _permute_bwd)
+
+
 def segment_sum_via_perm(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,
     num_segments: int,
     perm: Optional[jnp.ndarray],
+    inv_perm: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Unsorted segment sum re-sorted through a host-precomputed permutation
     (GraphBatch.edge_perm_by_sender) so the Pallas sorted-CSR kernel applies —
-    used by stacks that aggregate into SENDER nodes (EGNN/PAINN/PNAEq)."""
+    used by stacks that aggregate into SENDER nodes (EGNN/PAINN/PNAEq).
+    Pass ``inv_perm`` (GraphBatch.edge_perm_by_sender_inv) to make the
+    permutation's backward a gather instead of an unsorted scatter."""
     if perm is None:
         return jax.ops.segment_sum(
             data, segment_ids, num_segments, indices_are_sorted=False
         )
+    sorted_data = (
+        permute_rows(data, perm, inv_perm) if inv_perm is not None
+        else data[perm]
+    )
     return segment_sum(
-        data[perm], segment_ids[perm], num_segments, indices_are_sorted=True
+        sorted_data, segment_ids[perm], num_segments, indices_are_sorted=True
     )
 
 

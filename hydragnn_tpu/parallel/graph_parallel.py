@@ -44,7 +44,8 @@ from hydragnn_tpu.train.trainer import TrainState, make_loss_fn
 _NODE_FIELDS = ("x", "pos", "node_graph_idx", "node_mask", "node_y", "forces",
                 "pe")
 _EDGE_FIELDS = ("senders", "receivers", "edge_mask", "edge_shifts",
-                "edge_attr", "rel_pe", "edge_perm_by_sender")
+                "edge_attr", "rel_pe", "edge_perm_by_sender",
+                "edge_perm_by_sender_inv")
 
 
 def batch_shardings(mesh: Mesh, batch: GraphBatch, axis: str = "graph"):

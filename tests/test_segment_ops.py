@@ -90,3 +90,38 @@ def test_gather_scatter_sum():
     np.testing.assert_allclose(out, want)
     d = np.asarray(degree(receivers, 4))
     np.testing.assert_allclose(d, [0, 2, 0, 2])
+
+
+def test_segment_sum_via_perm_inverse_grad():
+    """permute_rows backward (gather by inverse perm) must equal the plain
+    data[perm] backward (scatter) exactly."""
+    import jax
+    from hydragnn_tpu.ops.segment import segment_sum_via_perm
+
+    rng = np.random.RandomState(3)
+    E, N, F = 64, 10, 5
+    ids = rng.randint(0, N, E).astype(np.int32)
+    perm = np.argsort(ids, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(E, dtype=np.int32)
+    data = jnp.asarray(rng.randn(E, F).astype(np.float32))
+
+    def loss_fast(d):
+        return jnp.sum(
+            segment_sum_via_perm(d, jnp.asarray(ids), N, jnp.asarray(perm),
+                                 jnp.asarray(inv)) ** 2
+        )
+
+    def loss_ref(d):
+        return jnp.sum(
+            jax.ops.segment_sum(d, jnp.asarray(ids), N) ** 2
+        )
+
+    out_fast = loss_fast(data)
+    out_ref = loss_ref(data)
+    np.testing.assert_allclose(float(out_fast), float(out_ref), rtol=1e-6)
+    g_fast = jax.grad(loss_fast)(data)
+    g_ref = jax.grad(loss_ref)(data)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), rtol=1e-6, atol=1e-6
+    )
