@@ -116,6 +116,15 @@ class GraphBatch:
 
         return gather_nodes(x, self.receivers, None)
 
+    def gather_src_dst(self, x: jnp.ndarray):
+        """(x[senders], x[receivers]) with a single merged backward
+        reduction (see ops.spmm.gather_src_dst)."""
+        from hydragnn_tpu.ops.spmm import gather_src_dst
+
+        return gather_src_dst(
+            x, self.senders, self.receivers, self.edge_perm_by_sender
+        )
+
 
 def _round_up(v: int, multiple: int) -> int:
     return ((v + multiple - 1) // multiple) * multiple

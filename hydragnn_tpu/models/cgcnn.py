@@ -24,7 +24,8 @@ class CGConv(nn.Module):
 
     @nn.compact
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
-        parts = [batch.gather_dst(inv), batch.gather_src(inv)]
+        x_src, x_dst = batch.gather_src_dst(inv)
+        parts = [x_dst, x_src]
         e = ctx.get("edge_attr")
         if self.edge_dim and e is not None:
             parts.append(e)

@@ -152,7 +152,8 @@ class DimeConv(nn.Module):
         # embedding block (ref: HydraEmbeddingBlock:259-305); i=receivers,
         # j=senders per reference triplets() return (col, row)
         g = act(nn.Dense(self.hidden, name="emb_lin_rbf")(rbf))
-        parts = [batch.gather_dst(x), batch.gather_src(x), g]
+        x_src, x_dst = batch.gather_src_dst(x)
+        parts = [x_dst, x_src, g]
         e_attr = ctx.get("edge_attr")
         if self.edge_dim and e_attr is not None:
             parts.append(act(nn.Dense(self.hidden, name="emb_edge_lin")(e_attr)))

@@ -33,10 +33,17 @@ class E_GCL(nn.Module):
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
         s, r = batch.senders, batch.receivers
         N = inv.shape[0]
-        diff_hat, radial = get_edge_vectors_and_lengths(
-            equiv, s, r, normalize=True, eps=1.0, edge_mask=batch.edge_mask
-        )
-        parts = [batch.gather_src(inv), batch.gather_dst(inv), radial]
+        if "egnn_geometry" in ctx:
+            # coordinates never update (equivariance off): geometry was
+            # computed once for all layers by EGCLStack._embedding
+            diff_hat, radial = ctx["egnn_geometry"]
+        else:
+            diff_hat, radial = get_edge_vectors_and_lengths(
+                equiv, s, r, normalize=True, eps=1.0,
+                edge_mask=batch.edge_mask,
+            )
+        x_src, x_dst = batch.gather_src_dst(inv)
+        parts = [x_src, x_dst, radial]
         e_attr = ctx.get("edge_attr")
         if self.edge_dim and e_attr is not None:
             parts.append(e_attr)
@@ -100,3 +107,15 @@ class EGCLStack(HydraBase):
 
     def _make_feature_layer(self, i):
         return None  # Identity (ref: EGCLStack.py:54)
+
+    def _embedding(self, batch: GraphBatch):
+        inv, equiv, ctx = super()._embedding(batch)
+        if not self.cfg.equivariance:
+            # no coordinate updates: edge geometry is layer-invariant, so
+            # compute the [E,3]/[E,1] gathers + norm ONCE for all layers
+            ctx = dict(ctx)
+            ctx["egnn_geometry"] = get_edge_vectors_and_lengths(
+                equiv, batch.senders, batch.receivers, normalize=True,
+                eps=1.0, edge_mask=batch.edge_mask,
+            )
+        return inv, equiv, ctx

@@ -156,10 +156,8 @@ class InteractionBlock(nn.Module):
             self.node_feats_irreps, self.edge_attrs_irreps, self.target_irreps,
             name="conv_tp",
         )
-        aug = jnp.concatenate(
-            [edge_feats, batch.gather_src(h_down), batch.gather_dst(h_down)],
-            axis=-1,
-        )
+        hd_src, hd_dst = batch.gather_src_dst(h_down)
+        aug = jnp.concatenate([edge_feats, hd_src, hd_dst], axis=-1)
         tp_w = MLP(
             [n_sc, n_sc, n_sc, tp.weight_numel],
             activation=jax.nn.silu,

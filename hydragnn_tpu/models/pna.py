@@ -52,7 +52,8 @@ class PNAConv(nn.Module):
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
         N = inv.shape[0]
         F_in = self.in_dim
-        parts = [batch.gather_dst(inv), batch.gather_src(inv)]
+        x_src, x_dst = batch.gather_src_dst(inv)
+        parts = [x_dst, x_src]
         if self.edge_dim:
             e = ctx.get("edge_attr")
             assert e is not None, "PNA with edge_dim requires edge_attr"

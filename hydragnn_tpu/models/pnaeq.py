@@ -48,7 +48,8 @@ class PNAEqMessage(nn.Module):
         edge_vec = ctx["edge_vec"]
 
         rbf_attr = jnp.tanh(nn.Dense(F_in, name="rbf_emb")(rbf))
-        parts = [batch.gather_src(x), batch.gather_dst(x), rbf_attr]
+        x_src, x_dst = batch.gather_src_dst(x)
+        parts = [x_src, x_dst, rbf_attr]
         e_attr = ctx.get("edge_attr")
         if self.edge_dim and e_attr is not None:
             parts.append(nn.Dense(F_in, name="edge_encoder")(e_attr))

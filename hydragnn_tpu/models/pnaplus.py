@@ -69,9 +69,8 @@ class PNAPlusConv(nn.Module):
             )
         else:
             enc = rbf_emb
-        h = jnp.concatenate(
-            [batch.gather_dst(inv), batch.gather_src(inv), enc], axis=-1
-        )
+        x_src, x_dst = batch.gather_src_dst(inv)
+        h = jnp.concatenate([x_dst, x_src, enc], axis=-1)
         h = nn.Dense(F_in, name="pre_nn")(h)
         h = h * nn.Dense(F_in, use_bias=False, name="rbf_lin")(rbf)
 

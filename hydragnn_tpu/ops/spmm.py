@@ -111,3 +111,47 @@ def gather_nodes(
     if perm is None:
         perm = jnp.arange(ids.shape[0], dtype=jnp.int32)
     return _gather_sorted_bwd(x, ids, perm)
+
+
+@jax.custom_vjp
+def _gather_src_dst(x, senders, receivers, perm):
+    return x[senders], x[receivers]
+
+
+def _gather_both_fwd(x, senders, receivers, perm):
+    return (x[senders], x[receivers]), (senders, receivers, perm, x.shape[0])
+
+
+def _gather_both_bwd(res, gs):
+    g_s, g_r = gs
+    senders, receivers, perm, n = res
+    # ONE sorted segment-sum instead of two: receivers are ascending in
+    # [0, n) and senders[perm] are ascending, so [receivers ‖ senders+n] is
+    # globally sorted over 2n segments; dx = out[:n] + out[n:].
+    ids = jnp.concatenate([receivers, senders[perm] + n])
+    data = jnp.concatenate([g_r, g_s[perm]], axis=0)
+    if data.ndim == 2:
+        from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
+
+        out = segment_sum_auto(data, ids, 2 * n, indices_are_sorted=True)
+    else:
+        out = jax.ops.segment_sum(data, ids, 2 * n, indices_are_sorted=True)
+    return (out[:n] + out[n:], None, None, None)
+
+
+_gather_src_dst.defvjp(_gather_both_fwd, _gather_both_bwd)
+
+
+def gather_src_dst(
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    perm: Optional[jnp.ndarray] = None,
+):
+    """(x[senders], x[receivers]) with the two backward scatters merged into
+    one sorted segment reduction over 2N virtual segments — halves the
+    per-layer backward kernel launches of convs that gather both endpoints
+    (EGNN/GAT/CGCNN-style edge MLPs)."""
+    if perm is None:
+        return x[senders], x[receivers]
+    return _gather_src_dst(x, senders, receivers, perm)

@@ -125,3 +125,38 @@ def test_segment_sum_via_perm_inverse_grad():
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_gather_src_dst_merged_backward():
+    """Combined src+dst gather: values and gradients must equal two plain
+    gathers exactly."""
+    import jax
+    from hydragnn_tpu.ops.spmm import gather_src_dst
+
+    rng = np.random.RandomState(5)
+    N, E, F = 12, 70, 128
+    receivers = np.sort(rng.randint(0, N, E)).astype(np.int32)
+    senders = rng.randint(0, N, E).astype(np.int32)
+    perm = np.argsort(senders, kind="stable").astype(np.int32)
+    x = jnp.asarray(rng.randn(N, F).astype(np.float32))
+    w_s = jnp.asarray(rng.randn(E, F).astype(np.float32))
+    w_r = jnp.asarray(rng.randn(E, F).astype(np.float32))
+
+    def loss_merged(v):
+        a, b = gather_src_dst(v, jnp.asarray(senders), jnp.asarray(receivers),
+                              jnp.asarray(perm))
+        return jnp.sum(a * w_s) + jnp.sum(b * w_r)
+
+    def loss_ref(v):
+        return jnp.sum(v[jnp.asarray(senders)] * w_s) + jnp.sum(
+            v[jnp.asarray(receivers)] * w_r
+        )
+
+    np.testing.assert_allclose(
+        float(loss_merged(x)), float(loss_ref(x)), rtol=1e-6
+    )
+    g_m = jax.grad(loss_merged)(x)
+    g_r = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_m), np.asarray(g_r), rtol=1e-5, atol=1e-5
+    )
