@@ -181,6 +181,8 @@ def _segment_sum_csr_impl(
     passes: int = PASSES,
 ):
     E, F = msgs.shape
+    if F <= F_CHUNK:
+        edge_tile = _scale_tile_for_vmem(edge_tile, F)
     if F > F_CHUNK:
         # chunk the feature dim: VMEM scratch is NBUF*edge_tile*F bytes
         parts = [
@@ -394,6 +396,15 @@ def _csr_kernel_windowed(
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _scale_tile_for_vmem(edge_tile: int, F: int) -> int:
+    """Keep NBUF*T*F*4 message scratch + [RB,F] accumulators inside the
+    16 MB VMEM budget: full tile up to F=128, halve per extra 128 lanes
+    (F=256 at T=2048/NBUF=4 measured 17.07M > 16M scoped limit)."""
+    if F <= 128:
+        return edge_tile
+    return max(512, edge_tile * 128 // F)
+
+
 def _segment_sum_csr_impl_v2(
     msgs,
     receivers,
@@ -403,6 +414,8 @@ def _segment_sum_csr_impl_v2(
     passes: int = PASSES,
 ):
     E, F = msgs.shape
+    if F <= F_CHUNK:
+        edge_tile = _scale_tile_for_vmem(edge_tile, F)
     if F > F_CHUNK:
         parts = [
             _segment_sum_csr_impl_v2(

@@ -151,7 +151,23 @@ def gather_src_dst(
     """(x[senders], x[receivers]) with the two backward scatters merged into
     one sorted segment reduction over 2N virtual segments — halves the
     per-layer backward kernel launches of convs that gather both endpoints
-    (EGNN/GAT/CGCNN-style edge MLPs)."""
+    (EGNN/GAT/CGCNN-style edge MLPs).
+
+    Only profitable when the merged reduction hits the Pallas CSR kernel
+    (2-D float, 128-multiple features, TPU): otherwise the [2E, F] concat of
+    the two cotangents costs more HBM traffic than it saves (measured: EGNN
+    h866 bf16 70 -> 140 ms/step when merged onto the XLA path)."""
     if perm is None:
         return x[senders], x[receivers]
+    merged_ok = (
+        x.ndim == 2
+        and x.shape[-1] % 128 == 0
+        and x.dtype in (jnp.float32, jnp.bfloat16)
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+    if not merged_ok:
+        return (
+            gather_nodes(x, senders, perm),
+            gather_nodes(x, receivers, None),
+        )
     return _gather_src_dst(x, senders, receivers, perm)

@@ -131,7 +131,9 @@ def test_gather_src_dst_merged_backward():
     """Combined src+dst gather: values and gradients must equal two plain
     gathers exactly."""
     import jax
-    from hydragnn_tpu.ops.spmm import gather_src_dst
+    # the inner op: the public wrapper only routes here on TPU with
+    # 128-multiple features, but the VJP itself is backend-agnostic
+    from hydragnn_tpu.ops.spmm import _gather_src_dst as gather_src_dst
 
     rng = np.random.RandomState(5)
     N, E, F = 12, 70, 128
