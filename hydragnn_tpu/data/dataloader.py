@@ -68,12 +68,20 @@ class GraphLoader:
         seed: int = 0,
         node_multiple: int = 64,
         edge_multiple: int = 128,
+        node_slot: Optional[int] = None,
+        dense_adjacency: bool = False,
     ):
         self.dataset = list(dataset)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self._epoch = 0
+        if dense_adjacency and node_slot is None:
+            # smallest 8-multiple slot that fits the largest graph
+            worst = max((s.num_nodes for s in self.dataset), default=1)
+            node_slot = -(-worst // 8) * 8
+        self.node_slot = node_slot
+        self.dense_adjacency = dense_adjacency
 
         sizes = sorted(
             ((s.num_nodes, s.num_edges) for s in self.dataset), reverse=True
@@ -101,9 +109,11 @@ class GraphLoader:
             chunk = [self.dataset[j] for j in order[i : i + self.batch_size]]
             yield collate(
                 chunk,
-                n_node_pad=self.n_node_pad,
+                n_node_pad=(None if self.node_slot else self.n_node_pad),
                 n_edge_pad=self.n_edge_pad,
                 n_graph_pad=self.n_graph_pad,
+                node_slot=self.node_slot,
+                dense_adjacency=self.dense_adjacency,
             )
 
 
@@ -170,7 +180,12 @@ def create_dataloaders(
     common = dict(
         node_multiple=kwargs.pop("node_multiple", 64),
         edge_multiple=kwargs.pop("edge_multiple", 128),
+        dense_adjacency=kwargs.pop("dense_adjacency", False),
+        node_slot=kwargs.pop("node_slot", None),
     )
+    if common["dense_adjacency"] and common["node_slot"] is None:
+        worst = max((s.num_nodes for s in all_samples), default=1)
+        common["node_slot"] = -(-worst // 8) * 8
     train_loader = GraphLoader(trainset, batch_size, shuffle=True, **common, **kwargs)
     val_loader = GraphLoader(valset, batch_size, **common, **kwargs)
     test_loader = GraphLoader(testset, batch_size, **common, **kwargs)

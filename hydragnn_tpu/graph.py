@@ -91,6 +91,12 @@ class GraphBatch:
     # GATHER by the inverse instead of an unsorted scatter (~2 ms/op on v5e
     # at E=131k — one per conv layer in sender-aggregating stacks)
     edge_perm_by_sender_inv: Optional[jnp.ndarray] = None  # [E] int32
+    # dense block-diagonal adjacency [G, S, S] (collate(node_slot=S,
+    # dense_adjacency=True)): A[g, i, j] = multiplicity of edge j->i in
+    # graph g's slot-local indices. Turns raw-neighbor aggregation into a
+    # batched MXU matmul with NO gather/scatter (ops.segment.adjacency_spmm)
+    # — the fastest SpMM form on TPU for small uniform graphs.
+    adjacency: Optional[jnp.ndarray] = None  # [G, S, S]
 
     @property
     def num_nodes(self) -> int:
@@ -157,20 +163,39 @@ def collate(
     node_multiple: int = 64,
     edge_multiple: int = 128,
     sort_edges_by_receiver: bool = True,
+    node_slot: Optional[int] = None,
+    dense_adjacency: bool = False,
 ) -> GraphBatch:
     """Concatenate + pad host samples into one static-shape ``GraphBatch``.
 
     Edges are (optionally, default on) sorted by receiver so segment
     aggregations can use ``indices_are_sorted=True`` and the Pallas kernel can
     walk contiguous CSR rows.
+
+    ``node_slot=S`` lays every graph into a fixed S-row slot (N = Gp * S,
+    graph g's nodes at rows [g*S, g*S + n_g)) so node arrays reshape to
+    [Gp, S, F]; ``dense_adjacency=True`` additionally builds the [Gp, S, S]
+    block-diagonal adjacency, enabling the batched-matmul SpMM path.
     """
     G = len(samples)
     tot_n = sum(s.num_nodes for s in samples)
     tot_e = sum(s.num_edges for s in samples)
     auto_n, auto_e, auto_g = pad_sizes(tot_n, tot_e, G, node_multiple, edge_multiple)
-    N = n_node_pad or auto_n
-    E = n_edge_pad or auto_e
+    if dense_adjacency and node_slot is None:
+        raise ValueError("dense_adjacency requires node_slot")
     Gp = n_graph_pad or auto_g
+    if node_slot is not None:
+        max_n = max((s.num_nodes for s in samples), default=0)
+        if max_n > node_slot:
+            raise ValueError(
+                f"node_slot={node_slot} smaller than largest graph ({max_n})"
+            )
+        N = Gp * node_slot
+        if n_node_pad is not None and n_node_pad != N:
+            raise ValueError("node_slot fixes n_node_pad = n_graph_pad * slot")
+    else:
+        N = n_node_pad or auto_n
+    E = n_edge_pad or auto_e
     if N < tot_n + 1 or E < tot_e or Gp < G + 1:
         raise ValueError(
             f"padded sizes ({N},{E},{Gp}) too small for batch ({tot_n},{tot_e},{G})"
@@ -222,12 +247,21 @@ def collate(
     # per-sample python loop + 130 separate device_puts dominated collate)
     n_sizes = np.array([s.num_nodes for s in samples])
     e_sizes = np.array([s.num_edges for s in samples])
-    n_offsets = np.concatenate([[0], np.cumsum(n_sizes)])
+    if node_slot is not None:
+        n_offsets = np.arange(G + 1, dtype=np.int64) * node_slot
+        # destination rows: graph g occupies [g*slot, g*slot + n_g)
+        dest = np.concatenate(
+            [np.arange(n, dtype=np.int64) + g * node_slot
+             for g, n in enumerate(n_sizes)]
+        ) if G else np.zeros((0,), np.int64)
+    else:
+        n_offsets = np.concatenate([[0], np.cumsum(n_sizes)])
+        dest = np.arange(tot_n, dtype=np.int64)
 
-    x[:tot_n] = np.concatenate(
+    x[dest] = np.concatenate(
         [np.atleast_2d(s.x.reshape(s.num_nodes, -1)) for s in samples]
     )
-    pos[:tot_n] = np.concatenate([s.pos for s in samples])
+    pos[dest] = np.concatenate([s.pos for s in samples])
     if tot_e:
         senders[:tot_e] = np.concatenate(
             [s.edge_index[0] + off for s, off in zip(samples, n_offsets)]
@@ -235,8 +269,16 @@ def collate(
         receivers[:tot_e] = np.concatenate(
             [s.edge_index[1] + off for s, off in zip(samples, n_offsets)]
         )
-    node_graph_idx[:tot_n] = np.repeat(np.arange(G, dtype=np.int32), n_sizes)
-    node_mask[:tot_n] = True
+    if node_slot is not None:
+        # every row of slot g (incl. slot padding) is labeled graph g so
+        # node_graph_idx stays SORTED (segment ops rely on it); node_mask
+        # marks validity
+        node_graph_idx[:] = np.repeat(
+            np.arange(Gp, dtype=np.int32), node_slot
+        )
+    else:
+        node_graph_idx[dest] = np.repeat(np.arange(G, dtype=np.int32), n_sizes)
+    node_mask[dest] = True
     edge_mask[:tot_e] = True
     graph_mask[:G] = True
     n_node[:G] = n_sizes
@@ -252,15 +294,15 @@ def collate(
             [np.atleast_1d(s.y_graph).ravel() for s in samples]
         )
     if node_y is not None:
-        node_y[:tot_n] = np.concatenate(
+        node_y[dest] = np.concatenate(
             [np.atleast_2d(s.y_node.reshape(s.num_nodes, -1)) for s in samples]
         )
     if energy is not None:
         energy[:G] = [float(np.asarray(s.energy).ravel()[0]) for s in samples]
     if forces is not None:
-        forces[:tot_n] = np.concatenate([s.forces for s in samples])
+        forces[dest] = np.concatenate([s.forces for s in samples])
     if pe is not None:
-        pe[:tot_n] = np.concatenate(
+        pe[dest] = np.concatenate(
             [np.atleast_2d(s.pe.reshape(s.num_nodes, -1)) for s in samples]
         )
     if rel_pe is not None and tot_e:
@@ -288,6 +330,19 @@ def collate(
         perm_by_sender.shape[0], dtype=np.int32
     )
 
+    adjacency = None
+    if dense_adjacency:
+        adjacency = np.zeros((Gp, node_slot, node_slot), np.float32)
+        if tot_e:
+            se = senders[edge_mask].astype(np.int64)
+            re_ = receivers[edge_mask].astype(np.int64)
+            g = re_ // node_slot
+            np.add.at(
+                adjacency,
+                (g, re_ - g * node_slot, se - g * node_slot),
+                1.0,
+            )
+
     # single batched device_put for all fields (one dispatch, not 14)
     host = dict(
         x=x, pos=pos, senders=senders, receivers=receivers,
@@ -299,7 +354,8 @@ def collate(
     )
     for name, arr in (("edge_attr", edge_attr), ("graph_y", graph_y),
                       ("node_y", node_y), ("energy", energy),
-                      ("forces", forces), ("pe", pe), ("rel_pe", rel_pe)):
+                      ("forces", forces), ("pe", pe), ("rel_pe", rel_pe),
+                      ("adjacency", adjacency)):
         if arr is not None:
             host[name] = arr
     dev = jax.device_put(host)
@@ -311,6 +367,7 @@ def collate(
         forces=dev.get("forces"),
         pe=dev.get("pe"),
         rel_pe=dev.get("rel_pe"),
+        adjacency=dev.get("adjacency"),
         **{k: dev[k] for k in (
             "x", "pos", "senders", "receivers", "node_graph_idx",
             "node_mask", "edge_mask", "graph_mask", "n_node", "dataset_id",

@@ -29,6 +29,7 @@ class GINConv(nn.Module):
             inv, batch.senders, batch.receivers, inv.shape[0],
             edge_mask=batch.edge_mask,
             perm_by_sender=batch.edge_perm_by_sender,
+            adjacency=batch.adjacency,
         )
         h = (1.0 + eps) * inv + agg
         h = nn.Dense(self.out_dim, name="mlp_0")(h)

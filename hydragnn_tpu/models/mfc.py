@@ -37,6 +37,7 @@ class MFConv(nn.Module):
             inv, batch.senders, batch.receivers, inv.shape[0],
             edge_mask=batch.edge_mask,
             perm_by_sender=batch.edge_perm_by_sender,
+            adjacency=batch.adjacency,
         )
         deg = degree(batch.receivers, inv.shape[0], mask=batch.edge_mask)
         d = jnp.minimum(deg.astype(jnp.int32), self.max_degree)

@@ -23,6 +23,7 @@ class SAGEConv(nn.Module):
             inv, batch.senders, batch.receivers, inv.shape[0],
             edge_mask=batch.edge_mask,
             perm_by_sender=batch.edge_perm_by_sender,
+            adjacency=batch.adjacency,
         )
         h = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(
             self.out_dim, use_bias=False, name="lin_r"

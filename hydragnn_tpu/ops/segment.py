@@ -148,6 +148,68 @@ def segment_softmax(
     return unnorm / denom[segment_ids]
 
 
+def _adjacency_bmm(adj: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
+    """einsum('gij,gjf->gif') with exact-fp32 MXU arithmetic: the adjacency
+    is exact in bf16 (integer multiplicities < 256), x splits into 3 bf16
+    mantissa chunks, products accumulate in fp32."""
+    a16 = adj.astype(jnp.bfloat16)
+    if xg.dtype == jnp.float32:
+        terms = []
+        rem = xg
+        for _ in range(3):
+            t = rem.astype(jnp.bfloat16)
+            rem = rem - t.astype(jnp.float32)
+            terms.append(t)
+    else:
+        terms = [xg.astype(jnp.bfloat16)]
+    out = None
+    for t in terms:
+        p = jax.lax.dot_general(
+            a16, t,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out = p if out is None else out + p
+    return out.astype(xg.dtype)
+
+
+@jax.custom_vjp
+def adjacency_spmm(adj: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Dense block-diagonal SpMM: out[i] = sum_j A[g,i,j] x[g*S+j] for the
+    slotted layout (collate(node_slot=S, dense_adjacency=True)).
+
+    THE fastest aggregation form on TPU for batches of small uniform graphs:
+    a single batched MXU matmul — no gather, no scatter, no edge array.
+    adj: [G, S, S]; x: [G*S, F]; returns [G*S, F]. Backward is the same bmm
+    with A transposed."""
+    G, S, _ = adj.shape
+    return _adjacency_bmm(adj, x.reshape(G, S, -1)).reshape(x.shape)
+
+
+def _adj_fwd(adj, x):
+    return adjacency_spmm(adj, x), (adj, x)
+
+
+def _adj_bwd(res, g):
+    adj, x = res
+    G, S, _ = adj.shape
+    dx = _adjacency_bmm(
+        jnp.swapaxes(adj, 1, 2), g.reshape(G, S, -1)
+    ).reshape(x.shape)
+    # dA = g x^T per graph — only materialized if the caller differentiates
+    # w.r.t. the adjacency (DCE'd otherwise; batches are not diff targets)
+    dA = jax.lax.dot_general(
+        g.reshape(G, S, -1).astype(jnp.bfloat16),
+        x.reshape(G, S, -1).astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(adj.dtype)
+    return (dA, dx)
+
+
+adjacency_spmm.defvjp(_adj_fwd, _adj_bwd)
+
+
 @jax.custom_vjp
 def permute_rows(data: jnp.ndarray, perm: jnp.ndarray,
                  inv_perm: jnp.ndarray) -> jnp.ndarray:
@@ -214,13 +276,18 @@ def gather_scatter_sum(
     edge_weight: Optional[jnp.ndarray] = None,
     edge_mask: Optional[jnp.ndarray] = None,
     perm_by_sender: Optional[jnp.ndarray] = None,
+    adjacency: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """SpMM: out[r] += w_e * x[s].
 
-    Routes through the FUSED adjacency-block Pallas kernel
-    (ops/pallas_spmm.py — no [E, F] intermediate in HBM, ~2x the unfused
-    kernel pipeline and ~8x XLA on v5e) when eligible; otherwise gather +
-    segment-sum with a sorted backward via ``perm_by_sender``."""
+    Fastest first: (1) dense block-diagonal ``adjacency`` bmm when the batch
+    was collated with node slots (one batched MXU matmul, zero gather/
+    scatter; masks are built into A), (2) the FUSED adjacency-block Pallas
+    kernel (ops/pallas_spmm.py — no [E, F] intermediate in HBM, ~2x the
+    unfused kernel pipeline and ~8x XLA on v5e), (3) gather + segment-sum
+    with a sorted backward via ``perm_by_sender``."""
+    if adjacency is not None and edge_weight is None and node_feat.ndim == 2:
+        return adjacency_spmm(jax.lax.stop_gradient(adjacency), node_feat)
     from hydragnn_tpu.ops.pallas_spmm import spmm_fused_auto
 
     fused = spmm_fused_auto(
@@ -253,12 +320,14 @@ def gather_scatter_mean(
     num_nodes: int,
     edge_mask: Optional[jnp.ndarray] = None,
     perm_by_sender: Optional[jnp.ndarray] = None,
+    adjacency: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Mean-aggregated SpMM: gather_scatter_sum / in-degree (fused-kernel
     eligible, unlike gathering then segment_mean)."""
     s = gather_scatter_sum(
         node_feat, senders, receivers, num_nodes,
         edge_mask=edge_mask, perm_by_sender=perm_by_sender,
+        adjacency=adjacency,
     )
     cnt = degree(receivers, num_nodes, edge_mask)
     cnt = jnp.maximum(cnt, 1.0).reshape(
