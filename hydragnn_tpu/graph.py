@@ -97,6 +97,11 @@ class GraphBatch:
     # batched MXU matmul with NO gather/scatter (ops.segment.adjacency_spmm)
     # — the fastest SpMM form on TPU for small uniform graphs.
     adjacency: Optional[jnp.ndarray] = None  # [G, S, S]
+    # STATIC slot width when collated with collate(node_slot=S): every graph
+    # occupies a fixed S-row slot, so node arrays reshape to [G, S, F]. Lets
+    # GPS global attention run per-graph [G, S, S] blocks instead of the
+    # whole-batch [N, N] mask (G-fold fewer logits).
+    node_slot: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_nodes(self) -> int:
@@ -360,6 +365,7 @@ def collate(
             host[name] = arr
     dev = jax.device_put(host)
     return GraphBatch(
+        node_slot=node_slot,
         edge_attr=dev.get("edge_attr"),
         graph_y=dev.get("graph_y"),
         node_y=dev.get("node_y"),

@@ -59,7 +59,30 @@ class MaskedGraphAttention(nn.Module):
         valid = batch.node_mask
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, x.dtype))
 
-        if n <= self.flash_threshold or n % self.key_block != 0:
+        slot = batch.node_slot
+        if slot is not None and n % slot == 0:
+            # slotted batch: graphs live in fixed S-row slots, so attention
+            # factors into G independent [S, S] blocks — G-fold fewer logits
+            # than the whole-batch [N, N] mask and a pure batched MXU matmul.
+            # Cross-graph pairs cannot occur (each slot is one graph); only
+            # padding rows inside a slot need masking.
+            g_cnt = n // slot
+            qg = q.reshape(g_cnt, slot, self.heads, head_dim)
+            kg = k.reshape(g_cnt, slot, self.heads, head_dim)
+            vg = v.reshape(g_cnt, slot, self.heads, head_dim)
+            key_ok = valid.reshape(g_cnt, slot)
+            logits = jnp.einsum("gqhd,gkhd->ghqk", qg, kg) * scale
+            logits = jnp.where(
+                key_ok[:, None, None, :], logits, jnp.finfo(x.dtype).min
+            )
+            attn = jax.nn.softmax(logits, axis=-1)
+            if self.dropout > 0.0 and train:
+                attn = nn.Dropout(rate=self.dropout,
+                                  deterministic=not train)(attn)
+            out = jnp.einsum("ghqk,gkhd->gqhd", attn, vg).reshape(
+                n, self.heads, head_dim
+            )
+        elif n <= self.flash_threshold or n % self.key_block != 0:
             # dense path: per-graph block mask [n, n]
             same_graph = gi[:, None] == gi[None, :]
             mask = same_graph & valid[None, :]

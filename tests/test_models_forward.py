@@ -234,6 +234,37 @@ def test_flash_attention_matches_dense():
     )
 
 
+def test_slotted_attention_matches_dense():
+    """Per-graph [G, S, S] block attention (node_slot batches) == whole-batch
+    dense masked attention on the same parameters and inputs."""
+    from hydragnn_tpu.models.gps import MaskedGraphAttention
+
+    rng = np.random.RandomState(3)
+    samples = []
+    for g in range(8):
+        n = int(rng.randint(5, 16))
+        ei = np.stack([rng.randint(0, n, 40), rng.randint(0, n, 40)])
+        samples.append(
+            GraphSample(
+                x=rng.randn(n, 1).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=ei,
+                y_graph=rng.randn(1).astype(np.float32),
+            )
+        )
+    b_slot = collate(samples, node_slot=16)
+    assert b_slot.node_slot == 16
+    x = jnp.asarray(rng.randn(b_slot.num_nodes, 16).astype(np.float32))
+
+    attn = MaskedGraphAttention(16, 2)
+    v = attn.init(jax.random.PRNGKey(0), x, b_slot)
+    o_slot = attn.apply(v, x, b_slot)
+    o_dense = attn.apply(v, x, b_slot.replace(node_slot=None))
+    np.testing.assert_allclose(
+        np.asarray(o_slot), np.asarray(o_dense), rtol=2e-5, atol=2e-6
+    )
+
+
 def test_performer_approximates_exact_attention():
     """FAVOR+ parity: with many random features and moderate logits the
     Performer output must track exact masked softmax attention closely
