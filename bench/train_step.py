@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build_batch(n_graphs, n, deg, seed):
+def build_batch(n_graphs, n, deg, seed, dense_adj=False):
     from hydragnn_tpu.graph import GraphSample, collate
 
     rng = np.random.RandomState(seed)
@@ -41,6 +41,8 @@ def build_batch(n_graphs, n, deg, seed):
                 y_graph=rng.randn(1).astype(np.float32),
             )
         )
+    if dense_adj:
+        return collate(samples, node_slot=n, dense_adjacency=True)
     return collate(samples)
 
 
@@ -55,6 +57,7 @@ def main():
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dense_adj", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -87,7 +90,8 @@ def main():
     )
     model = create_model(cfg)
     batches = [
-        build_batch(args.graphs, args.nodes, args.deg, seed=s)
+        build_batch(args.graphs, args.nodes, args.deg, seed=s,
+                    dense_adj=args.dense_adj)
         for s in range(args.steps)
     ]
     E = batches[0].senders.shape[0]

@@ -138,3 +138,37 @@ def test_training_with_dense_adjacency():
             state, loss, _ = step(state, b, k)
             losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+def test_gat_dense_attention_matches_edgewise():
+    """Slotted dense GATv2 attention == edgewise path on the same params,
+    including duplicate edges (multiplicity > 1) and real self-loops."""
+    from hydragnn_tpu.models.gat import GATv2Conv
+
+    rng = np.random.RandomState(7)
+    samples = []
+    for g in range(6):
+        n = int(rng.randint(4, 12))
+        e = 4 * n
+        ei = rng.randint(0, n, (2, e))
+        ei[:, 0] = ei[1, 0]  # force one self-loop
+        ei[:, 1] = ei[:, 2]  # force one duplicate edge
+        samples.append(GraphSample(
+            x=rng.randn(n, 5).astype(np.float32),
+            pos=rng.randn(n, 3).astype(np.float32),
+            edge_index=ei,
+            y_graph=rng.randn(1).astype(np.float32),
+        ))
+    b = collate(samples, node_slot=16, dense_adjacency=True)
+    x = jnp.asarray(rng.randn(b.num_nodes, 5).astype(np.float32))
+    equiv = jnp.zeros((b.num_nodes, 0), np.float32)
+
+    conv = GATv2Conv(5, 8, heads=3, concat=True)
+    v = conv.init(jax.random.PRNGKey(0), x, equiv, b, {}, train=False)
+    o_dense, _ = conv.apply(v, x, equiv, b, {}, train=False)
+    o_edge, _ = conv.apply(
+        v, x, equiv, b.replace(adjacency=None), {}, train=False
+    )
+    m = np.asarray(b.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(o_dense)[m], np.asarray(o_edge)[m], rtol=2e-5, atol=2e-5
+    )
