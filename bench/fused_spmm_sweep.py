@@ -67,8 +67,11 @@ def timeit(name, fn):
 
 configs = []
 for tup in sys.argv[1:]:
-    w, t, r, rs = map(int, tup.split(","))
-    configs.append((w, t, r, rs))
+    f = list(map(int, tup.split(",")))
+    w, t, r, rs = f[:4]
+    ap = f[4] if len(f) > 4 else 2  # a_passes (1 exact for masks, mult<256)
+    xp = f[5] if len(f) > 5 else 3  # x_passes (3 = exact fp32)
+    configs.append((w, t, r, rs, ap, xp))
 if not configs:
     # baselines + default grid
     timeit("xla gather+segment", lambda v: jax.ops.segment_sum(
@@ -76,19 +79,20 @@ if not configs:
     timeit("unfused gather + csr_v2 kernel",
            lambda v: segment_sum_csr(v[sd], rd, N))
     configs = [
-        (256, 2048, 1024, 64),
-        (192, 2048, 1024, 64),
-        (192, 1024, 1024, 64),
-        (160, 1024, 1024, 64),
-        (192, 1024, 1024, 128),
-        (256, 2048, 512, 64),
+        (256, 2048, 1024, 64, 2, 3),
+        (192, 2048, 1024, 64, 2, 3),
+        (192, 1024, 1024, 64, 2, 3),
+        (160, 1024, 1024, 64, 2, 3),
+        (192, 1024, 1024, 128, 2, 3),
+        (256, 2048, 512, 64, 2, 3),
     ]
 
-for w, t, r, rs in configs:
+for w, t, r, rs, ap, xp in configs:
     pspmm.R_SUB = rs
     timeit(
-        f"fused W={w} T={t} RB={r} RS={rs}",
-        lambda v, w=w, t=t, r=r: _spmm_fused_impl(
-            v, sd, rd, wd, N, row_block=r, edge_tile=t, window=w
+        f"fused W={w} T={t} RB={r} RS={rs} AP={ap} XP={xp}",
+        lambda v, w=w, t=t, r=r, ap=ap, xp=xp: _spmm_fused_impl(
+            v, sd, rd, wd, N, row_block=r, edge_tile=t, window=w,
+            x_passes=xp, a_passes=ap,
         ),
     )

@@ -56,12 +56,15 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 # defaults from the on-chip sweep (bench/fused_spmm_sweep.py, v5e, E=2.1M
 # F=128 deg-16 batched graphs): T=1024 beats 2048/512 (3.46 ms vs 3.9/4.0);
-# W=160 is fastest (3.13 ms) but W=256 is kept for robustness — it covers
-# per-tile sender spans up to 256 rows (graphs to ~192 nodes) before the
-# whole-call XLA fallback triggers.
+# kernel cost scales ~linearly with the window width (the A-build matmul and
+# the one-hot construction are both ∝ W·E), so the default is a runtime
+# CASCADE over window widths: W=160 (3.07 ms, covers graphs to ~128 nodes)
+# → W=256 (3.47 ms, graphs to ~224 nodes) → unfused XLA fallback. One
+# predicate per width checks every edge tile's sender span; `lax.cond`
+# dispatches to the tightest kernel that fits.
 ROW_BLOCK = 1024  # output rows per program
 EDGE_TILE = 1024  # edges per inner tile
-WINDOW = 256  # sender-window rows per tile
+WINDOW = (160, 256)  # sender-window cascade (int = single fixed window)
 R_SUB = 64  # receiver-window rows per adjacency block
 ALIGN = 32  # window base alignment (covers f32 [8,128] and bf16 [16,128])
 X_PASSES = 3  # bf16 split terms for x (3 = exact fp32)
@@ -320,22 +323,25 @@ def _spmm_fused_impl(
 ):
     """out[i] = sum_{e: receivers[e]==i} weights[e] * x[senders[e]].
 
-    ``receivers`` sorted ascending. Falls back to XLA gather+segment_sum when
-    any edge tile's sender span exceeds ``window`` (runtime predicate).
+    ``receivers`` sorted ascending. ``window`` is an int (single fixed
+    sender-window width) or a tuple of ascending widths: a runtime cascade
+    dispatches to the tightest kernel whose window covers every edge tile's
+    sender span. Falls back to XLA gather+segment_sum when no width fits.
     """
     E = senders.shape[0]
     N, F = x.shape
+    windows = (window,) if isinstance(window, int) else tuple(window)
     if F > F_CHUNK:
         parts = [
             _spmm_fused_impl(
                 x[:, i : i + F_CHUNK], senders, receivers, weights, num_nodes,
-                row_block, edge_tile, window, x_passes, a_passes, w_passes,
+                row_block, edge_tile, windows, x_passes, a_passes, w_passes,
             )
             for i in range(0, F, F_CHUNK)
         ]
         return jnp.concatenate(parts, axis=-1)
 
-    N_pad = max(_round_up(num_nodes, row_block), window)
+    N_pad = max(_round_up(num_nodes, row_block), max(windows))
     N_pad = _round_up(N_pad, row_block)
     E_pad = _round_up(E, edge_tile)
     num_blocks = N_pad // row_block
@@ -359,10 +365,6 @@ def _spmm_fused_impl(
     st = send_pad.reshape(E_pad // edge_tile, edge_tile)
     mn = jnp.min(st, axis=1)
     mx = jnp.max(st, axis=1)
-    sbases = jnp.clip(
-        (mn // ALIGN) * ALIGN, 0, max(N_pad - window, 0)
-    ).astype(jnp.int32)
-    ok = jnp.all(mx - sbases < window)
 
     def fallback():
         # sender locality violated (e.g. one giant graph): the adjacency
@@ -373,15 +375,22 @@ def _spmm_fused_impl(
         msgs = x_pad[send_pad] * w_pad[:, None].astype(x_pad.dtype)
         return segment_sum_auto(msgs, recv_pad, N_pad)
 
-    out = jax.lax.cond(
-        ok,
-        lambda: _spmm_pallas(
-            x_pad, send_pad, recv_pad, w_pad, sbases, num_blocks,
-            row_block, edge_tile, window, x_passes, a_passes, w_passes,
-        ),
-        fallback,
-    )
-    return out[:num_nodes]
+    out = fallback
+    for w_width in reversed(windows):
+        sbases = jnp.clip(
+            (mn // ALIGN) * ALIGN, 0, max(N_pad - w_width, 0)
+        ).astype(jnp.int32)
+        ok = jnp.all(mx - sbases < w_width)
+        out = functools.partial(
+            jax.lax.cond,
+            ok,
+            lambda sb=sbases, ww=w_width: _spmm_pallas(
+                x_pad, send_pad, recv_pad, w_pad, sb, num_blocks,
+                row_block, edge_tile, ww, x_passes, a_passes, w_passes,
+            ),
+            out,
+        )
+    return out()[:num_nodes]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -404,15 +413,19 @@ def spmm_onehot(
     leave False for masks. ``w_passes=1`` is exact for 0/1 masks; use 2 for
     real-valued fp32 weights.
     """
+    # mask/unit weights (w_passes=1): A holds integer multiplicities, exact
+    # in ONE bf16 term for multiplicity < 256; fp32 weights need 2 terms
     return _spmm_fused_impl(
-        x, senders, receivers, weights, num_nodes, w_passes=w_passes
+        x, senders, receivers, weights, num_nodes, w_passes=w_passes,
+        a_passes=1 if w_passes == 1 else A_PASSES,
     )
 
 
 def _fwd(x, senders, receivers, weights, perm, num_nodes, diff_weights,
          w_passes):
     out = _spmm_fused_impl(
-        x, senders, receivers, weights, num_nodes, w_passes=w_passes
+        x, senders, receivers, weights, num_nodes, w_passes=w_passes,
+        a_passes=1 if w_passes == 1 else A_PASSES,
     )
     res = (x if diff_weights else None, senders, receivers, weights, perm)
     return out, res
@@ -424,7 +437,7 @@ def _bwd(num_nodes, diff_weights, w_passes, res, g):
     # the edge direction flipped, edges sorted by sender.
     dx = _spmm_fused_impl(
         g, receivers[perm], senders[perm], weights[perm], num_nodes,
-        w_passes=w_passes,
+        w_passes=w_passes, a_passes=1 if w_passes == 1 else A_PASSES,
     )
     if diff_weights:
         dw = jnp.sum(g[receivers] * x[senders], axis=-1)
