@@ -42,6 +42,10 @@ class MaskedGraphAttention(nn.Module):
     # softmax) instead of materializing the [H, N, N] logits tensor
     flash_threshold: int = 2048
     key_block: int = 1024
+    # set to the mesh axis name when running node-sharded inside shard_map:
+    # key/value blocks ring-rotate over ICI (parallel/ring_attention.py) so
+    # memory is O(N_local * block) per device. Dropout unsupported (as flash).
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -60,7 +64,15 @@ class MaskedGraphAttention(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, x.dtype))
 
         slot = batch.node_slot
-        if slot is not None and n % slot == 0:
+        if self.ring_axis is not None:
+            from hydragnn_tpu.parallel.ring_attention import (
+                ring_masked_attention,
+            )
+
+            out = ring_masked_attention(
+                q, k, v, gi, valid, self.ring_axis, 1.0 / head_dim**0.5
+            )
+        elif slot is not None and n % slot == 0:
             # slotted batch: graphs live in fixed S-row slots, so attention
             # factors into G independent [S, S] blocks — G-fold fewer logits
             # than the whole-batch [N, N] mask and a pure batched MXU matmul.
