@@ -102,10 +102,28 @@ class GraphBatch:
     # GPS global attention run per-graph [G, S, S] blocks instead of the
     # whole-batch [N, N] mask (G-fold fewer logits).
     node_slot: Optional[int] = struct.field(pytree_node=False, default=None)
+    # graph-parallel halo exchange layout (parallel/halo.partition_batch):
+    # gp_send_idx[src, dest, :] = local node rows shard `src` sends to shard
+    # `dest`; gp_sender_slot[e] indexes the per-shard extended buffer
+    # [block | halo from shard 0 | ... | halo from shard D-1].
+    gp_send_idx: Optional[jnp.ndarray] = None  # [D, D, H] int32
+    gp_sender_slot: Optional[jnp.ndarray] = None  # [E] int32
+    gp_num_shards: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
+    gp_halo: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_nodes(self) -> int:
         return self.x.shape[0]
+
+    @property
+    def gp(self):
+        """(gp_send_idx, gp_sender_slot) for halo-exchange aggregation, or
+        None when the batch was not partitioned (parallel/halo.py)."""
+        if self.gp_send_idx is None:
+            return None
+        return (self.gp_send_idx, self.gp_sender_slot)
 
     @property
     def num_edges(self) -> int:

@@ -30,6 +30,7 @@ class GINConv(nn.Module):
             edge_mask=batch.edge_mask,
             perm_by_sender=batch.edge_perm_by_sender,
             adjacency=batch.adjacency,
+            gp=batch.gp,
         )
         h = (1.0 + eps) * inv + agg
         h = nn.Dense(self.out_dim, name="mlp_0")(h)

@@ -38,6 +38,7 @@ class MFConv(nn.Module):
             edge_mask=batch.edge_mask,
             perm_by_sender=batch.edge_perm_by_sender,
             adjacency=batch.adjacency,
+            gp=batch.gp,
         )
         deg = degree(batch.receivers, inv.shape[0], mask=batch.edge_mask)
         d = jnp.minimum(deg.astype(jnp.int32), self.max_degree)

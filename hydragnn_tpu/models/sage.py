@@ -24,6 +24,7 @@ class SAGEConv(nn.Module):
             edge_mask=batch.edge_mask,
             perm_by_sender=batch.edge_perm_by_sender,
             adjacency=batch.adjacency,
+            gp=batch.gp,
         )
         h = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(
             self.out_dim, use_bias=False, name="lin_r"

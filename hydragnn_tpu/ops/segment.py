@@ -277,6 +277,7 @@ def gather_scatter_sum(
     edge_mask: Optional[jnp.ndarray] = None,
     perm_by_sender: Optional[jnp.ndarray] = None,
     adjacency: Optional[jnp.ndarray] = None,
+    gp: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """SpMM: out[r] += w_e * x[s].
 
@@ -285,7 +286,41 @@ def gather_scatter_sum(
     scatter; masks are built into A), (2) the FUSED adjacency-block Pallas
     kernel (ops/pallas_spmm.py — no [E, F] intermediate in HBM, ~2x the
     unfused kernel pipeline and ~8x XLA on v5e), (3) gather + segment-sum
-    with a sorted backward via ``perm_by_sender``."""
+    with a sorted backward via ``perm_by_sender``.
+
+    ``gp=(gp_send_idx, gp_sender_slot)`` (GraphBatch.gp, set by
+    parallel/halo.partition_batch) + an enabled halo-exchange context routes
+    the aggregation through an explicit shard_map island: boundary node
+    features move with ONE all_to_all of the static halo, overlapped with
+    shard-local aggregation (parallel/halo.py)."""
+    if gp is not None and gp[0] is not None and node_feat.ndim == 2 and (
+        edge_weight is None or edge_weight.ndim == 1
+    ):
+        from hydragnn_tpu.parallel.context import halo_exchange_config
+
+        cfg = halo_exchange_config()
+        if cfg is not None:
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            from hydragnn_tpu.parallel.halo import halo_exchange_spmm
+
+            mesh, axis = cfg
+            w = jnp.ones(senders.shape, node_feat.dtype)
+            if edge_weight is not None:
+                w = w * edge_weight.astype(node_feat.dtype)
+            if edge_mask is not None:
+                w = w * edge_mask.astype(node_feat.dtype)
+            fn = shard_map(
+                partial(halo_exchange_spmm, axis=axis),
+                mesh=mesh,
+                in_specs=(P(axis),) * 5,
+                out_specs=P(axis),
+                check_rep=False,
+            )
+            return fn(node_feat, gp[0], gp[1], receivers, w)
     if adjacency is not None and edge_weight is None and node_feat.ndim == 2:
         return adjacency_spmm(jax.lax.stop_gradient(adjacency), node_feat)
     from hydragnn_tpu.ops.pallas_spmm import spmm_fused_auto
@@ -321,13 +356,14 @@ def gather_scatter_mean(
     edge_mask: Optional[jnp.ndarray] = None,
     perm_by_sender: Optional[jnp.ndarray] = None,
     adjacency: Optional[jnp.ndarray] = None,
+    gp: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Mean-aggregated SpMM: gather_scatter_sum / in-degree (fused-kernel
     eligible, unlike gathering then segment_mean)."""
     s = gather_scatter_sum(
         node_feat, senders, receivers, num_nodes,
         edge_mask=edge_mask, perm_by_sender=perm_by_sender,
-        adjacency=adjacency,
+        adjacency=adjacency, gp=gp,
     )
     cnt = degree(receivers, num_nodes, edge_mask)
     cnt = jnp.maximum(cnt, 1.0).reshape(

@@ -45,7 +45,9 @@ _NODE_FIELDS = ("x", "pos", "node_graph_idx", "node_mask", "node_y", "forces",
                 "pe")
 _EDGE_FIELDS = ("senders", "receivers", "edge_mask", "edge_shifts",
                 "edge_attr", "rel_pe", "edge_perm_by_sender",
-                "edge_perm_by_sender_inv")
+                "edge_perm_by_sender_inv", "gp_sender_slot",
+                # [D, D, H]: leading dim is the shard axis
+                "gp_send_idx")
 
 
 def batch_shardings(mesh: Mesh, batch: GraphBatch, axis: str = "graph"):
