@@ -116,3 +116,122 @@ class MultiDatasetLoader:
                 n_edge_pad=self.n_edge_pad,
                 n_graph_pad=self.n_graph_pad,
             )
+
+
+# ---------------------------------------------------------------------------
+# True per-branch device groups (the reference's two overlapping DDP process
+# groups — encoder over WORLD, decoder over the branch group,
+# ref: MultiTaskModelMP.py:219-220 — as ONE shard_map program over a
+# "branch" mesh axis).
+# ---------------------------------------------------------------------------
+
+def branch_of_param(path) -> Optional[int]:
+    """Branch id encoded in a param path ('head_0_branch-2' -> 2), or None
+    for shared (encoder) parameters."""
+    for p in path:
+        key = getattr(p, "key", None)
+        if isinstance(key, str) and "branch-" in key:
+            return int(key.split("branch-")[-1].split("_")[0])
+    return None
+
+
+def stack_device_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
+    """Stack per-device batches on a new leading axis (shard over 'branch').
+
+    Device d of the mesh processes ``batches[d]``; allocate devices to
+    branches proportionally and hand each device its own dataset's batch
+    (the reference's proportional process_list, multibranch/train.py:166-214).
+    """
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
+    )
+
+
+def make_branch_parallel_train_step(
+    model,
+    cfg,
+    optimizer,
+    mesh,
+    branch_sizes: Sequence[int],
+    axis: str = "branch",
+):
+    """Train step with reference MultiTaskModelMP gradient semantics:
+
+    - encoder gradients average over ALL devices (DDP over WORLD);
+    - branch-k decoder gradients average over branch-k's device group only
+      (DDP over the branch process group). Devices outside group k see no
+      dataset-k graphs, so their branch-k decoder grads are exactly zero and
+      ``psum / group_size`` equals the group mean.
+
+    ``branch_sizes[k]`` = devices allocated to branch k (sum = mesh size).
+    The batch argument is a ``stack_device_batches`` pytree: leading dim =
+    total devices, sharded over ``axis``; device d (in group
+    ``branch_of_device[d]``) must carry only that branch's dataset graphs.
+    BatchNorm running stats average over WORLD (SyncBatchNorm semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    import optax
+
+    from hydragnn_tpu.train.trainer import make_loss_fn
+
+    loss_fn = make_loss_fn(model, cfg, False)
+    W = int(sum(branch_sizes))
+    factors = {k: W / float(s) for k, s in enumerate(branch_sizes)}
+
+    def scale(grads):
+        def f(path, g):
+            b = branch_of_param(path)
+            return g * factors[b] if b is not None else g
+
+        return jax.tree_util.tree_map_with_path(f, grads)
+
+    def per_device(params, batch_stats, opt_state, step, batch, rng):
+        batch = jax.tree_util.tree_map(lambda a: a[0], batch)  # drop dev dim
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        (loss, (tasks, _, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, batch, rng, True)
+        # pmean over WORLD, then re-scale branch params by W / group_size:
+        # pmean * W / W_k == psum / W_k == per-group mean (cross-group branch
+        # grads are exactly zero). All devices end up with identical grads,
+        # so the replicated optimizer update stays consistent.
+        grads = scale(jax.lax.pmean(grads, axis))
+        loss = jax.lax.pmean(loss, axis)
+        tasks = [jax.lax.pmean(t, axis) for t in tasks]
+        new_stats = jax.lax.pmean(new_stats, axis)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt_state, step + 1, loss, tasks
+
+    repl = P()
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(repl, repl, repl, repl, P(axis), repl),
+        out_specs=(repl, repl, repl, repl, repl, repl),
+        check_rep=False,
+    )
+
+    def train_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        new_params, new_stats, new_opt, step, loss, tasks = fn(
+            state.params, state.batch_stats, state.opt_state, state.step,
+            batch, rng,
+        )
+        return (
+            state.replace(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                step=step,
+            ),
+            loss,
+            tasks,
+        )
+
+    return jax.jit(train_step)
