@@ -80,3 +80,71 @@ def test_pickle_roundtrip(tmp_path):
     assert ds.attrs["minmax"] == [0, 1]
     for i in range(5):
         assert_sample_equal(samples[i], ds[i])
+
+
+def test_distdataset_shard_local_and_remote_gets():
+    """DDStore-mode DistDataset: each rank serves its shard over TCP; any
+    rank fetches any sample (ref: utils/datasets/distdataset.py get +
+    pyddstore one-sided windows). Two ranks simulated in-process."""
+    import numpy as np
+
+    from hydragnn_tpu.data.distdataset import DistDataset
+    from hydragnn_tpu.graph import GraphSample
+
+    rng = np.random.RandomState(0)
+    data = [
+        GraphSample(
+            x=rng.randn(4, 2).astype(np.float32),
+            pos=rng.randn(4, 3).astype(np.float32),
+            edge_index=np.stack([[0, 1, 2], [1, 2, 3]]),
+            y_graph=np.asarray([float(i)], np.float32),
+        )
+        for i in range(10)
+    ]
+
+    ds0 = DistDataset(data, process_index=0, process_count=2,
+                      endpoints=["127.0.0.1:0", "127.0.0.1:0"])
+    ds1 = DistDataset(data, process_index=1, process_count=2,
+                      endpoints=[ds0.endpoints[0], "127.0.0.1:0"])
+    ds0.endpoints[1] = ds1.endpoints[1]
+    try:
+        assert len(ds0) == len(ds1) == 10
+        assert list(ds0.local_indices()) == list(range(5))
+        assert list(ds1.local_indices()) == list(range(5, 10))
+        ds0.epoch_begin()
+        # local + remote gets from both sides, interleaved and repeated
+        # (persistent connections must survive multiple requests)
+        for i in [0, 7, 3, 9, 7, 2, 5]:
+            got = ds0[i]
+            np.testing.assert_allclose(got.y_graph, [float(i)])
+            np.testing.assert_array_equal(got.x, data[i].x)
+        for i in [6, 1, 0, 8, 4]:
+            got = ds1[i]
+            np.testing.assert_allclose(got.y_graph, [float(i)])
+        ds0.epoch_end()
+    finally:
+        ds0.close()
+        ds1.close()
+
+
+def test_distdataset_without_endpoints_rejects_remote():
+    import numpy as np
+    import pytest as _pytest
+
+    from hydragnn_tpu.data.distdataset import DistDataset
+    from hydragnn_tpu.graph import GraphSample
+
+    rng = np.random.RandomState(1)
+    data = [
+        GraphSample(
+            x=rng.randn(3, 1).astype(np.float32),
+            pos=rng.randn(3, 3).astype(np.float32),
+            edge_index=np.stack([[0, 1], [1, 2]]),
+            y_graph=np.zeros(1, np.float32),
+        )
+        for _ in range(4)
+    ]
+    ds = DistDataset(data, process_index=0, process_count=2)
+    assert ds[0] is data[0]
+    with _pytest.raises(IndexError):
+        ds[3]
