@@ -366,10 +366,12 @@ def _scan_chunked_epoch(loader, state, scan_epoch_fn, train_step, rng,
             state = state_
             losses.extend(float(l) for l in np.asarray(ls))
         else:
+            tail = []
             for b in pending:
                 state_, loss, _ = train_step(state, b, rng)
                 state = state_
-                losses.append(float(loss))
+                tail.append(loss)  # defer host sync (see train_epoch)
+            losses.extend(float(l) for l in jax.device_get(tail))
         pending = []
 
     for batch in loader:
@@ -385,13 +387,20 @@ def _scan_chunked_epoch(loader, state, scan_epoch_fn, train_step, rng,
 
 
 def train_epoch(loader, state, train_step, rng, max_batches=None):
+    # keep losses as device scalars during the epoch: a float() per step
+    # would block the host on every step's result and serialize dispatch
+    # against the next batch's collate (async-dispatch pipelining)
     losses, task_losses = [], []
     for ib, batch in enumerate(loader):
         if max_batches is not None and ib >= max_batches:
             break
         state, loss, tasks = train_step(state, batch, rng)
-        losses.append(float(loss))
-        task_losses.append([float(t) for t in tasks])
+        losses.append(loss)
+        task_losses.append(tasks)
+    losses = [float(l) for l in jax.device_get(losses)]
+    task_losses = [
+        [float(t) for t in np.asarray(ts)] for ts in jax.device_get(task_losses)
+    ]
     return state, _epoch_mean(losses), task_losses
 
 
