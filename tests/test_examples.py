@@ -43,3 +43,16 @@ def test_lj_example_runs(monkeypatch):
     )
     state, results = lennard_jones.main()
     assert np.isfinite(results["history"]["val_loss"][-1])
+
+
+def test_hpo_example_runs(monkeypatch, tmp_path):
+    sys.path.insert(0, os.path.join(EXAMPLES, "hpo"))
+    import hpo_search
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["hpo_search.py", "--trials", "2", "--epochs", "2",
+         "--configs", "30"],
+    )
+    hpo_search.main()
