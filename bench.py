@@ -78,7 +78,11 @@ def measure(use_pallas: bool) -> dict:
         from hydragnn_tpu.ops.pallas_spmm import _spmm_fused_impl
 
         wd = jnp.ones((E,), jnp.float32)
-        spmm_fn = lambda v: _spmm_fused_impl(v, sd, rd, wd, N)
+        # mask/unit-weight path: int8 adjacency build (exact multiplicities,
+        # 2x MXU rate), single bf16 A term (exact < 256 edge multiplicity)
+        spmm_fn = lambda v: _spmm_fused_impl(
+            v, sd, rd, wd, N, a_passes=1, a_int8=True
+        )
     else:
         spmm_fn = lambda v: jax.ops.segment_sum(
             v[sd], rd, N, indices_are_sorted=True

@@ -71,7 +71,8 @@ for tup in sys.argv[1:]:
     w, t, r, rs = f[:4]
     ap = f[4] if len(f) > 4 else 2  # a_passes (1 exact for masks, mult<256)
     xp = f[5] if len(f) > 5 else 3  # x_passes (3 = exact fp32)
-    configs.append((w, t, r, rs, ap, xp))
+    i8 = f[6] if len(f) > 6 else 0  # int8 A-build (masks/unit weights only)
+    configs.append((w, t, r, rs, ap, xp, i8))
 if not configs:
     # baselines + default grid
     timeit("xla gather+segment", lambda v: jax.ops.segment_sum(
@@ -79,20 +80,19 @@ if not configs:
     timeit("unfused gather + csr_v2 kernel",
            lambda v: segment_sum_csr(v[sd], rd, N))
     configs = [
-        (256, 2048, 1024, 64, 2, 3),
-        (192, 2048, 1024, 64, 2, 3),
-        (192, 1024, 1024, 64, 2, 3),
-        (160, 1024, 1024, 64, 2, 3),
-        (192, 1024, 1024, 128, 2, 3),
-        (256, 2048, 512, 64, 2, 3),
+        (256, 2048, 1024, 64, 2, 3, 0),
+        (192, 2048, 1024, 64, 2, 3, 0),
+        (192, 1024, 1024, 64, 2, 3, 0),
+        (160, 1024, 1024, 64, 2, 3, 0),
+        (192, 1024, 1024, 128, 2, 3, 0),
+        (256, 2048, 512, 64, 2, 3, 0),
     ]
 
-for w, t, r, rs, ap, xp in configs:
-    pspmm.R_SUB = rs
+for w, t, r, rs, ap, xp, i8 in configs:
     timeit(
-        f"fused W={w} T={t} RB={r} RS={rs} AP={ap} XP={xp}",
-        lambda v, w=w, t=t, r=r, ap=ap, xp=xp: _spmm_fused_impl(
+        f"fused W={w} T={t} RB={r} RS={rs} AP={ap} XP={xp} I8={i8}",
+        lambda v, w=w, t=t, r=r, rs=rs, ap=ap, xp=xp, i8=i8: _spmm_fused_impl(
             v, sd, rd, wd, N, row_block=r, edge_tile=t, window=w,
-            x_passes=xp, a_passes=ap,
+            x_passes=xp, a_passes=ap, r_sub=rs, a_int8=bool(i8),
         ),
     )

@@ -58,10 +58,13 @@ LANES = 128
 # F=128 deg-16 batched graphs): T=1024 beats 2048/512 (3.46 ms vs 3.9/4.0);
 # kernel cost scales ~linearly with the window width (the A-build matmul and
 # the one-hot construction are both ∝ W·E), so the default is a runtime
-# CASCADE over window widths: W=160 (3.07 ms, covers graphs to ~128 nodes)
-# → W=256 (3.47 ms, graphs to ~224 nodes) → unfused XLA fallback. One
-# predicate per width checks every edge tile's sender span; `lax.cond`
-# dispatches to the tightest kernel that fits.
+# CASCADE over window widths: W=160 (covers graphs to ~128 nodes) → W=256
+# (graphs to ~224 nodes) → unfused XLA fallback. One predicate per width
+# checks every edge tile's sender span; `lax.cond` dispatches to the
+# tightest kernel that fits. For mask/unit weights (w_passes=1) the A-build
+# runs in int8 on the MXU (2x bf16 rate, int32 accumulation — exact edge
+# multiplicities): W=160 2.65 ms vs 3.07 bf16, W=256 2.88 vs 3.47 —
+# 784 Medges/s = 0.529 of HBM speed-of-light end-to-end (bench.py).
 ROW_BLOCK = 1024  # output rows per program
 EDGE_TILE = 1024  # edges per inner tile
 WINDOW = (160, 256)  # sender-window cascade (int = single fixed window)
@@ -109,6 +112,8 @@ def _fused_kernel(
     x_passes: int,
     a_passes: int,
     w_passes: int,
+    r_sub: int = R_SUB,
+    a_int8: bool = False,
 ):
     sub = edge_tile // LANES
     b = pl.program_id(0)
@@ -150,9 +155,14 @@ def _fused_kernel(
                 d.start()
 
     acc_ref[:] = jnp.zeros((row_block, out_ref.shape[1]), jnp.float32)
-    win_rows = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, LANES), 0)
+    win_rows = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
     send_rows = jax.lax.broadcasted_iota(jnp.int32, (window, LANES), 0)
     fp32_in = x_ref.dtype == jnp.float32
+    # int8 A-build: one-hots and 0/1 mask weights are exact in int8; the MXU
+    # runs int8 matmuls at 2x bf16 throughput and accumulates in int32, so
+    # the adjacency block (integer edge multiplicities) is exact. Only valid
+    # for w_passes == 1 with integer-valued weights (masks / unit weights).
+    oh_dtype = jnp.int8 if a_int8 else jnp.bfloat16
 
     def body(t, _):
         slot = jax.lax.rem(t - t0, NBUF)
@@ -175,7 +185,7 @@ def _fused_kernel(
         oh_s = jnp.concatenate(
             [
                 (send_rows + sbase == send_tile[si : si + 1, :]).astype(
-                    jnp.bfloat16
+                    oh_dtype
                 )
                 for si in range(sub)
             ],
@@ -184,8 +194,12 @@ def _fused_kernel(
 
         if w_passes > 1:
             w_terms = _split_bf16(w_tile, w_passes)
+        elif a_int8:
+            # weights stay int32: Mosaic has no i8 multiply, so the weight
+            # folds into the one-hot via an i32 select, then casts to i8
+            w_terms = [w_tile.astype(jnp.int32)]
         else:
-            w_terms = [w_tile.astype(jnp.bfloat16)]
+            w_terms = [w_tile.astype(oh_dtype)]
 
         x_win = x_scratch[slot]
         if fp32_in and x_passes > 1:
@@ -194,38 +208,54 @@ def _fused_kernel(
             x_terms = [x_win.astype(jnp.bfloat16)]
 
         # this tile's receiver row span within the block (sorted receivers)
-        lo = jnp.clip(recv_tile[0, 0] - row_base, 0, row_block - R_SUB)
+        lo = jnp.clip(recv_tile[0, 0] - row_base, 0, row_block - r_sub)
         hi = jnp.clip(
             recv_tile[sub - 1, LANES - 1] - row_base, 0, row_block - 1
         )
-        lo = (lo // R_SUB) * R_SUB
-        n_win = jnp.clip((hi - lo) // R_SUB + 1, 1, row_block // R_SUB)
+        lo = (lo // r_sub) * r_sub
+        n_win = jnp.clip((hi - lo) // r_sub + 1, 1, row_block // r_sub)
+        acc_dt = jnp.int32 if a_int8 else jnp.float32
 
         def win_body(wi, _):
-            off = lo + wi * R_SUB
-            a = jnp.zeros((R_SUB, window), jnp.float32)
+            off = lo + wi * r_sub
+            a = jnp.zeros((r_sub, window), acc_dt)
             for wt in w_terms:
-                # weighted receiver one-hot [R_SUB, T]
-                oh_r = jnp.concatenate(
-                    [
-                        (
-                            win_rows + row_base + off
-                            == recv_tile[si : si + 1, :]
-                        ).astype(jnp.bfloat16)
-                        * wt[si : si + 1, :]
-                        for si in range(sub)
-                    ],
-                    axis=1,
-                )
-                # adjacency block A[R_SUB, W]: contract over the edge axis
+                # weighted receiver one-hot [r_sub, T]
+                if a_int8:
+                    oh_r = jnp.concatenate(
+                        [
+                            jnp.where(
+                                win_rows + row_base + off
+                                == recv_tile[si : si + 1, :],
+                                wt[si : si + 1, :],
+                                0,
+                            ).astype(jnp.int8)
+                            for si in range(sub)
+                        ],
+                        axis=1,
+                    )
+                else:
+                    oh_r = jnp.concatenate(
+                        [
+                            (
+                                win_rows + row_base + off
+                                == recv_tile[si : si + 1, :]
+                            ).astype(oh_dtype)
+                            * wt[si : si + 1, :]
+                            for si in range(sub)
+                        ],
+                        axis=1,
+                    )
+                # adjacency block A[r_sub, W]: contract over the edge axis
                 a = a + jax.lax.dot_general(
                     oh_r,
                     oh_s,
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc_dt,
                 )
-            a_terms = _split_bf16(a, a_passes)
-            part = jnp.zeros((R_SUB, out_ref.shape[1]), jnp.float32)
+            # int32 multiplicities are exact in one bf16 term below 256
+            a_terms = _split_bf16(a.astype(jnp.float32), a_passes)
+            part = jnp.zeros((r_sub, out_ref.shape[1]), jnp.float32)
             for at in a_terms:
                 for xt in x_terms:
                     part = part + jax.lax.dot_general(
@@ -234,8 +264,8 @@ def _fused_kernel(
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-            acc_ref[pl.ds(off, R_SUB), :] = (
-                acc_ref[pl.ds(off, R_SUB), :] + part
+            acc_ref[pl.ds(off, r_sub), :] = (
+                acc_ref[pl.ds(off, r_sub), :] + part
             )
             return 0
 
@@ -249,6 +279,7 @@ def _fused_kernel(
 def _spmm_pallas(
     x_pad, send_pad, recv_pad, w_pad, sbases, num_blocks,
     row_block, edge_tile, window, x_passes, a_passes, w_passes,
+    r_sub=R_SUB, a_int8=False,
 ):
     E_pad = send_pad.shape[0]
     F = x_pad.shape[1]
@@ -294,6 +325,8 @@ def _spmm_pallas(
             x_passes=x_passes,
             a_passes=a_passes,
             w_passes=w_passes,
+            r_sub=r_sub,
+            a_int8=a_int8,
         ),
         out_shape=jax.ShapeDtypeStruct((N_pad, F), x_pad.dtype),
         grid_spec=grid_spec,
@@ -320,6 +353,8 @@ def _spmm_fused_impl(
     x_passes: int = X_PASSES,
     a_passes: int = A_PASSES,
     w_passes: int = 1,
+    r_sub: int = R_SUB,
+    a_int8: bool = False,
 ):
     """out[i] = sum_{e: receivers[e]==i} weights[e] * x[senders[e]].
 
@@ -336,6 +371,7 @@ def _spmm_fused_impl(
             _spmm_fused_impl(
                 x[:, i : i + F_CHUNK], senders, receivers, weights, num_nodes,
                 row_block, edge_tile, windows, x_passes, a_passes, w_passes,
+                r_sub=r_sub, a_int8=a_int8,
             )
             for i in range(0, F, F_CHUNK)
         ]
@@ -387,6 +423,7 @@ def _spmm_fused_impl(
             lambda sb=sbases, ww=w_width: _spmm_pallas(
                 x_pad, send_pad, recv_pad, w_pad, sb, num_blocks,
                 row_block, edge_tile, ww, x_passes, a_passes, w_passes,
+                r_sub=r_sub, a_int8=a_int8,
             ),
             out,
         )
@@ -417,7 +454,7 @@ def spmm_onehot(
     # in ONE bf16 term for multiplicity < 256; fp32 weights need 2 terms
     return _spmm_fused_impl(
         x, senders, receivers, weights, num_nodes, w_passes=w_passes,
-        a_passes=1 if w_passes == 1 else A_PASSES,
+        a_passes=1 if w_passes == 1 else A_PASSES, a_int8=w_passes == 1,
     )
 
 
@@ -425,7 +462,7 @@ def _fwd(x, senders, receivers, weights, perm, num_nodes, diff_weights,
          w_passes):
     out = _spmm_fused_impl(
         x, senders, receivers, weights, num_nodes, w_passes=w_passes,
-        a_passes=1 if w_passes == 1 else A_PASSES,
+        a_passes=1 if w_passes == 1 else A_PASSES, a_int8=w_passes == 1,
     )
     res = (x if diff_weights else None, senders, receivers, weights, perm)
     return out, res
@@ -438,6 +475,7 @@ def _bwd(num_nodes, diff_weights, w_passes, res, g):
     dx = _spmm_fused_impl(
         g, receivers[perm], senders[perm], weights[perm], num_nodes,
         w_passes=w_passes, a_passes=1 if w_passes == 1 else A_PASSES,
+        a_int8=w_passes == 1,
     )
     if diff_weights:
         dw = jnp.sum(g[receivers] * x[senders], axis=-1)

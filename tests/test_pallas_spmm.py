@@ -103,6 +103,34 @@ def test_fused_spmm_window_violation_falls_back():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
 
+def test_fused_spmm_int8_adjacency():
+    # int8 A-build (mask/unit weights): exact integer multiplicities
+    x, s, r, n, e = _batched_graph(seed=9)
+    rng = np.random.RandomState(10)
+    mask = (rng.rand(e) > 0.4).astype(np.float32)
+    want = _ref(x, s, r, mask, n)
+    got = np.asarray(
+        pspmm._spmm_fused_impl(
+            jnp.asarray(x), jnp.asarray(s), jnp.asarray(r), jnp.asarray(mask),
+            n, row_block=128, edge_tile=256, window=64, a_int8=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_fused_spmm_r_sub_32():
+    x, s, r, n, e = _batched_graph(seed=11)
+    w = np.ones(e, np.float32)
+    want = _ref(x, s, r, w, n)
+    got = np.asarray(
+        pspmm._spmm_fused_impl(
+            jnp.asarray(x), jnp.asarray(s), jnp.asarray(r), jnp.asarray(w), n,
+            row_block=128, edge_tile=256, window=64, r_sub=32,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
 def test_fused_spmm_grad_x():
     x, s, r, n, e = _batched_graph(G=4, NV=32, D=4, seed=5)
     w = np.ones(e, np.float32)
