@@ -102,6 +102,13 @@ class GraphBatch:
     # GPS global attention run per-graph [G, S, S] blocks instead of the
     # whole-batch [N, N] mask (G-fold fewer logits).
     node_slot: Optional[int] = struct.field(pytree_node=False, default=None)
+    # STATIC fused-SpMM sender-window hint (ops/pallas_spmm.required_window,
+    # set by collate): smallest verified cascade width covering every edge
+    # tile's endpoint span in BOTH edge directions (fwd receiver-sorted, bwd
+    # sender-sorted); -1 = none fits (skip the fused kernel); None =
+    # unknown (use the default runtime cascade). Giant RCM-ordered graphs
+    # (data/ordering.py) get 512/1024 windows here instead of falling back.
+    spmm_window: Optional[int] = struct.field(pytree_node=False, default=None)
     # graph-parallel halo exchange layout (parallel/halo.partition_batch):
     # gp_send_idx[src, dest, :] = local node rows shard `src` sends to shard
     # `dest`; gp_sender_slot[e] indexes the per-shard extended buffer
@@ -353,6 +360,16 @@ def collate(
         perm_by_sender.shape[0], dtype=np.int32
     )
 
+    spmm_window = None
+    if sort_edges_by_receiver and tot_e > 0:
+        # static fused-SpMM window hint: verify both edge directions so the
+        # custom-VJP backward (roles swapped, sender-sorted) is covered too
+        from hydragnn_tpu.ops.pallas_spmm import required_window
+
+        w_fwd = required_window(senders, N)
+        w_bwd = required_window(receivers[perm_by_sender], N)
+        spmm_window = -1 if (w_fwd < 0 or w_bwd < 0) else max(w_fwd, w_bwd)
+
     adjacency = None
     if dense_adjacency:
         adjacency = np.zeros((Gp, node_slot, node_slot), np.float32)
@@ -384,6 +401,7 @@ def collate(
     dev = jax.device_put(host)
     return GraphBatch(
         node_slot=node_slot,
+        spmm_window=spmm_window,
         edge_attr=dev.get("edge_attr"),
         graph_y=dev.get("graph_y"),
         node_y=dev.get("node_y"),

@@ -80,6 +80,48 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+# widths collate may pin via GraphBatch.spmm_window: the default cascade plus
+# wide single-window variants for RCM-ordered giant graphs (data/ordering.py).
+# Beyond 1024 the NBUF x-window scratch would crowd VMEM (4*1024*256*4 = 4 MB
+# at F_CHUNK) and the A-build cost (∝ W) overtakes the unfused pipeline.
+HINT_WIDTHS = (160, 256, 512, 1024)
+
+
+def required_window(
+    senders: "np.ndarray",
+    num_nodes: int,
+    widths: tuple = HINT_WIDTHS,
+    edge_tile: int = EDGE_TILE,
+    row_block: int = ROW_BLOCK,
+    align: int = ALIGN,
+) -> int:
+    """Host-side: smallest cascade width whose sender window covers every
+    edge tile of this (receiver-sorted) edge list, or -1 when none fits.
+
+    Replicates the kernel's own padding/alignment arithmetic
+    (``_spmm_fused_impl``) so a positive answer guarantees the runtime
+    predicate passes and the single pinned-window kernel never falls back.
+    Called by ``graph.collate`` to set the static ``GraphBatch.spmm_window``
+    hint (bounded retrace: at most ``len(widths)+2`` variants).
+    """
+    s = np.asarray(senders, dtype=np.int64)
+    E = int(s.shape[0])
+    if E == 0:
+        return int(widths[0])
+    E_pad = _round_up(E, edge_tile)
+    if E_pad != E:
+        s = np.concatenate([s, np.broadcast_to(s[-1:], (E_pad - E,))])
+    st = s.reshape(-1, edge_tile)
+    mn = st.min(axis=1)
+    mx = st.max(axis=1)
+    for w in widths:
+        n_pad = _round_up(max(_round_up(num_nodes, row_block), w), row_block)
+        base = np.clip((mn // align) * align, 0, max(n_pad - w, 0))
+        if (mx - base < w).all():
+            return int(w)
+    return -1
+
+
 def _split_bf16(v, passes):
     """Exact bf16 mantissa-chunk decomposition of an fp32 array."""
     terms = []
@@ -430,7 +472,7 @@ def _spmm_fused_impl(
     return out()[:num_nodes]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def spmm_onehot(
     x: jnp.ndarray,
     senders: jnp.ndarray,
@@ -440,6 +482,7 @@ def spmm_onehot(
     num_nodes: int,
     diff_weights: bool = False,
     w_passes: int = 1,
+    windows: Optional[tuple] = None,
 ):
     """Fused weighted SpMM with kernel-fast backward.
 
@@ -448,34 +491,41 @@ def spmm_onehot(
     sender (GraphBatch.edge_perm_by_sender) so the backward runs the same
     fused kernel. Set ``diff_weights=True`` to also get d/d(weights) (SDDMM);
     leave False for masks. ``w_passes=1`` is exact for 0/1 masks; use 2 for
-    real-valued fp32 weights.
+    real-valued fp32 weights. ``windows`` overrides the sender-window
+    cascade (e.g. the single collate-pinned width from
+    ``GraphBatch.spmm_window``); None = module default.
     """
     # mask/unit weights (w_passes=1): A holds integer multiplicities, exact
     # in ONE bf16 term for multiplicity < 256; fp32 weights need 2 terms
     return _spmm_fused_impl(
         x, senders, receivers, weights, num_nodes, w_passes=w_passes,
         a_passes=1 if w_passes == 1 else A_PASSES, a_int8=w_passes == 1,
+        window=windows or WINDOW,
     )
 
 
 def _fwd(x, senders, receivers, weights, perm, num_nodes, diff_weights,
-         w_passes):
+         w_passes, windows):
     out = _spmm_fused_impl(
         x, senders, receivers, weights, num_nodes, w_passes=w_passes,
         a_passes=1 if w_passes == 1 else A_PASSES, a_int8=w_passes == 1,
+        window=windows or WINDOW,
     )
     res = (x if diff_weights else None, senders, receivers, weights, perm)
     return out, res
 
 
-def _bwd(num_nodes, diff_weights, w_passes, res, g):
+def _bwd(num_nodes, diff_weights, w_passes, windows, res, g):
     x, senders, receivers, weights, perm = res
     # dx[s] = sum over outgoing edges of w_e * g[r]: the same fused op with
-    # the edge direction flipped, edges sorted by sender.
+    # the edge direction flipped, edges sorted by sender. A collate-pinned
+    # window covers BOTH directions (required_window is checked on the
+    # receiver-sorted and sender-sorted lists); the runtime predicate still
+    # guards correctness regardless.
     dx = _spmm_fused_impl(
         g, receivers[perm], senders[perm], weights[perm], num_nodes,
         w_passes=w_passes, a_passes=1 if w_passes == 1 else A_PASSES,
-        a_int8=w_passes == 1,
+        a_int8=w_passes == 1, window=windows or WINDOW,
     )
     if diff_weights:
         dw = jnp.sum(g[receivers] * x[senders], axis=-1)
@@ -495,13 +545,20 @@ def spmm_fused_auto(
     weights: Optional[jnp.ndarray] = None,
     edge_mask: Optional[jnp.ndarray] = None,
     perm_by_sender: Optional[jnp.ndarray] = None,
+    window_hint: Optional[int] = None,
 ) -> Optional[jnp.ndarray]:
     """Route an SpMM through the fused adjacency kernel when eligible;
     returns None when the unfused path should be used instead.
-    ``HYDRAGNN_TPU_FUSED_SPMM=0`` disables the route (A/B + debugging)."""
+    ``window_hint`` (GraphBatch.spmm_window, set by collate): a positive
+    width pins a single verified sender window (giant RCM-ordered graphs use
+    512/1024 instead of falling back); -1 means no width fits, skip the
+    kernel entirely. ``HYDRAGNN_TPU_FUSED_SPMM=0`` disables the route (A/B +
+    debugging)."""
     import os
 
     if os.environ.get("HYDRAGNN_TPU_FUSED_SPMM", "1") == "0":
+        return None
+    if window_hint is not None and window_hint < 0:
         return None
     eligible = (
         x.ndim == 2
@@ -525,7 +582,8 @@ def spmm_fused_auto(
         w = m if w is None else w * m
     if w is None:
         w = jnp.ones(senders.shape, jnp.float32)
+    windows = (int(window_hint),) if window_hint else None
     return spmm_onehot(
         x, senders, receivers, w, perm_by_sender, num_nodes, diff_weights,
-        w_passes,
+        w_passes, windows,
     )

@@ -278,6 +278,7 @@ def gather_scatter_sum(
     perm_by_sender: Optional[jnp.ndarray] = None,
     adjacency: Optional[jnp.ndarray] = None,
     gp: Optional[tuple] = None,
+    window_hint: Optional[int] = None,
 ) -> jnp.ndarray:
     """SpMM: out[r] += w_e * x[s].
 
@@ -330,6 +331,7 @@ def gather_scatter_sum(
         weights=edge_weight if edge_weight is not None and edge_weight.ndim == 1 else None,
         edge_mask=edge_mask,
         perm_by_sender=perm_by_sender,
+        window_hint=window_hint,
     ) if (edge_weight is None or edge_weight.ndim == 1) else None
     if fused is not None:
         return fused
@@ -357,13 +359,14 @@ def gather_scatter_mean(
     perm_by_sender: Optional[jnp.ndarray] = None,
     adjacency: Optional[jnp.ndarray] = None,
     gp: Optional[tuple] = None,
+    window_hint: Optional[int] = None,
 ) -> jnp.ndarray:
     """Mean-aggregated SpMM: gather_scatter_sum / in-degree (fused-kernel
     eligible, unlike gathering then segment_mean)."""
     s = gather_scatter_sum(
         node_feat, senders, receivers, num_nodes,
         edge_mask=edge_mask, perm_by_sender=perm_by_sender,
-        adjacency=adjacency, gp=gp,
+        adjacency=adjacency, gp=gp, window_hint=window_hint,
     )
     cnt = degree(receivers, num_nodes, edge_mask)
     cnt = jnp.maximum(cnt, 1.0).reshape(
