@@ -183,6 +183,19 @@ def create_dataloaders(
         dense_adjacency=kwargs.pop("dense_adjacency", False),
         node_slot=kwargs.pop("node_slot", None),
     )
+    if common["dense_adjacency"] == "auto":
+        # slotted dense-adjacency collate is the fastest aggregation form on
+        # TPU for batches of small near-uniform graphs (one batched MXU bmm,
+        # no gather/scatter — ops/segment.adjacency_spmm). Enable when the
+        # [G, S, S] adjacency stays small (S <= 384) and slotting does not
+        # waste too many padded rows (S <= 2.5x the mean graph size).
+        worst = max((s.num_nodes for s in all_samples), default=1)
+        mean = (
+            sum(s.num_nodes for s in all_samples) / max(len(all_samples), 1)
+            or 1.0
+        )
+        slot = -(-worst // 8) * 8
+        common["dense_adjacency"] = worst <= 384 and slot <= 2.5 * mean
     if common["dense_adjacency"] and common["node_slot"] is None:
         worst = max((s.num_nodes for s in all_samples), default=1)
         common["node_slot"] = -(-worst // 8) * 8

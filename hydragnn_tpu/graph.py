@@ -382,6 +382,11 @@ def collate(
                 (g, re_ - g * node_slot, se - g * node_slot),
                 1.0,
             )
+        # bf16 storage: integer multiplicities < 256 are exact, halves the
+        # HBM read of every adjacency_spmm and skips the in-kernel cast
+        import ml_dtypes
+
+        adjacency = adjacency.astype(ml_dtypes.bfloat16)
 
     # single batched device_put for all fields (one dispatch, not 14)
     host = dict(

@@ -82,9 +82,14 @@ def _round_up(v: int, m: int) -> int:
 
 # widths collate may pin via GraphBatch.spmm_window: the default cascade plus
 # wide single-window variants for RCM-ordered giant graphs (data/ordering.py).
-# Beyond 1024 the NBUF x-window scratch would crowd VMEM (4*1024*256*4 = 4 MB
-# at F_CHUNK) and the A-build cost (∝ W) overtakes the unfused pipeline.
-HINT_WIDTHS = (160, 256, 512, 1024)
+# Periodic lattices need ~2x the RCM bandwidth (senders of a receiver run
+# reach both directions): 2D Moore ~4096, 3D Moore ~8192. Wide windows drop
+# the DMA pipeline depth to 2 and the feature chunk to 128 so the x-window
+# scratch stays within VMEM; the A-build cost (∝ W) still undercuts the
+# unfused gather at these scales (the gather is what's slow on giant
+# graphs). Beyond 8192 the scratch would not fit.
+HINT_WIDTHS = (160, 256, 512, 1024, 2048, 4096, 8192)
+WIDE_WINDOW = 2048  # >= this: NBUF=2, F chunk 128
 
 
 def required_window(
@@ -156,6 +161,7 @@ def _fused_kernel(
     w_passes: int,
     r_sub: int = R_SUB,
     a_int8: bool = False,
+    nbuf: int = NBUF,
 ):
     sub = edge_tile // LANES
     b = pl.program_id(0)
@@ -190,7 +196,7 @@ def _fused_kernel(
             ),
         )
 
-    for k in range(NBUF - 1):
+    for k in range(nbuf - 1):
         @pl.when(t0 + k < t1)
         def _(k=k):
             for d in get_dma(k, t0 + k):
@@ -207,12 +213,12 @@ def _fused_kernel(
     oh_dtype = jnp.int8 if a_int8 else jnp.bfloat16
 
     def body(t, _):
-        slot = jax.lax.rem(t - t0, NBUF)
-        nxt = jax.lax.rem(t - t0 + NBUF - 1, NBUF)
+        slot = jax.lax.rem(t - t0, nbuf)
+        nxt = jax.lax.rem(t - t0 + nbuf - 1, nbuf)
 
-        @pl.when(t + NBUF - 1 < t1)
+        @pl.when(t + nbuf - 1 < t1)
         def _():
-            for d in get_dma(nxt, t + NBUF - 1):
+            for d in get_dma(nxt, t + nbuf - 1):
                 d.start()
 
         for d in get_dma(slot, t):
@@ -323,6 +329,9 @@ def _spmm_pallas(
     row_block, edge_tile, window, x_passes, a_passes, w_passes,
     r_sub=R_SUB, a_int8=False,
 ):
+    # wide windows (RCM-ordered giant graphs): shallower DMA pipeline so the
+    # x-window scratch stays within VMEM
+    nbuf = 2 if window >= WIDE_WINDOW else NBUF
     E_pad = send_pad.shape[0]
     F = x_pad.shape[1]
     N_pad = num_blocks * row_block
@@ -351,11 +360,11 @@ def _spmm_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((row_block, F), jnp.float32),
-            pltpu.VMEM((NBUF, window, F), x_pad.dtype),
-            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.int32),
-            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.int32),
-            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, 4)),
+            pltpu.VMEM((nbuf, window, F), x_pad.dtype),
+            pltpu.VMEM((nbuf, edge_tile // LANES, LANES), jnp.int32),
+            pltpu.VMEM((nbuf, edge_tile // LANES, LANES), jnp.int32),
+            pltpu.VMEM((nbuf, edge_tile // LANES, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf, 4)),
         ],
     )
     return pl.pallas_call(
@@ -369,6 +378,7 @@ def _spmm_pallas(
             w_passes=w_passes,
             r_sub=r_sub,
             a_int8=a_int8,
+            nbuf=nbuf,
         ),
         out_shape=jax.ShapeDtypeStruct((N_pad, F), x_pad.dtype),
         grid_spec=grid_spec,
@@ -408,14 +418,17 @@ def _spmm_fused_impl(
     E = senders.shape[0]
     N, F = x.shape
     windows = (window,) if isinstance(window, int) else tuple(window)
-    if F > F_CHUNK:
+    # wide windows: narrower feature chunks keep the x-window VMEM scratch
+    # bounded (nbuf * window * f_chunk * 4B)
+    f_chunk = 128 if max(windows) >= WIDE_WINDOW else F_CHUNK
+    if F > f_chunk:
         parts = [
             _spmm_fused_impl(
-                x[:, i : i + F_CHUNK], senders, receivers, weights, num_nodes,
+                x[:, i : i + f_chunk], senders, receivers, weights, num_nodes,
                 row_block, edge_tile, windows, x_passes, a_passes, w_passes,
                 r_sub=r_sub, a_int8=a_int8,
             )
-            for i in range(0, F, F_CHUNK)
+            for i in range(0, F, f_chunk)
         ]
         return jnp.concatenate(parts, axis=-1)
 

@@ -79,6 +79,12 @@ def run_training(
     train_loader, val_loader, test_loader = create_dataloaders(
         trainset, valset, testset,
         batch_size=config["NeuralNetwork"]["Training"]["batch_size"],
+        # "auto" enables the slotted dense-adjacency collate (fastest
+        # aggregation path) for small near-uniform graphs; override with
+        # true/false in the config
+        dense_adjacency=config["NeuralNetwork"]["Training"].get(
+            "dense_adjacency", "auto"
+        ),
     )
 
     log_name = get_log_name_config(config)

@@ -343,7 +343,19 @@ def make_scan_train_epoch(
 
 
 def stack_batches(batches: List[GraphBatch]) -> GraphBatch:
-    """Stack identically-shaped batches along a new leading scan axis."""
+    """Stack identically-shaped batches along a new leading scan axis.
+
+    Static aux fields must match across the chunk for tree_map; the
+    fused-SpMM window hint is per-batch data-dependent, so harmonize it to
+    the weakest claim any batch makes (-1 wins, else the widest window)."""
+    hints = {b.spmm_window for b in batches}
+    if len(hints) > 1:
+        hint = (
+            -1
+            if any(h is None or h < 0 for h in hints)
+            else max(hints)
+        )
+        batches = [b.replace(spmm_window=hint) for b in batches]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *batches)
 
 
