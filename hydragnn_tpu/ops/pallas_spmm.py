@@ -83,13 +83,16 @@ def _round_up(v: int, m: int) -> int:
 # widths collate may pin via GraphBatch.spmm_window: the default cascade plus
 # wide single-window variants for RCM-ordered giant graphs (data/ordering.py).
 # Periodic lattices need ~2x the RCM bandwidth (senders of a receiver run
-# reach both directions): 2D Moore ~4096, 3D Moore ~8192. Wide windows drop
-# the DMA pipeline depth to 2 and the feature chunk to 128 so the x-window
-# scratch stays within VMEM; the A-build cost (∝ W) still undercuts the
-# unfused gather at these scales (the gather is what's slow on giant
-# graphs). Beyond 8192 the scratch would not fit.
-HINT_WIDTHS = (160, 256, 512, 1024, 2048, 4096, 8192)
-WIDE_WINDOW = 2048  # >= this: NBUF=2, F chunk 128
+# reach both directions): 2D Moore lattices land at 4096. Wide windows drop
+# the DMA pipeline depth to 2, chunk the window in 1024-row pieces inside
+# the kernel (one-hot temporaries stay narrow-window sized), and cap the
+# feature chunk at 128 so VMEM holds. Measured v5e (bench/giant_graph_spmm
+# .py, 131k-node 2D Moore lattice, RCM-ordered): W=4096 fused 11.0 ms vs
+# 15.4 ms unfused (1.4x). W=8192 compiles and is correct but the A-build
+# cost (∝ W) loses ~2x to the unfused pipeline (13k-node 3D Moore), so the
+# hint table stops at 4096 — wider graphs take the unfused path.
+HINT_WIDTHS = (160, 256, 512, 1024, 2048, 4096)
+WIDE_WINDOW = 2048  # >= this: NBUF=2, window chunking, F chunk 128
 
 
 def required_window(
@@ -203,8 +206,14 @@ def _fused_kernel(
                 d.start()
 
     acc_ref[:] = jnp.zeros((row_block, out_ref.shape[1]), jnp.float32)
+    # wide windows are processed in 1024-row chunks so the one-hot / x-split
+    # temporaries stay at narrow-window size (whole-window [W, T] one-hots at
+    # W=4096 overflow the scoped VMEM stack)
+    w_chunk = min(window, 1024)
+    n_chunks = window // w_chunk
+    assert window % w_chunk == 0
     win_rows = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
-    send_rows = jax.lax.broadcasted_iota(jnp.int32, (window, LANES), 0)
+    send_rows = jax.lax.broadcasted_iota(jnp.int32, (w_chunk, LANES), 0)
     fp32_in = x_ref.dtype == jnp.float32
     # int8 A-build: one-hots and 0/1 mask weights are exact in int8; the MXU
     # runs int8 matmuls at 2x bf16 throughput and accumulates in int32, so
@@ -229,16 +238,28 @@ def _fused_kernel(
         w_tile = w_scratch[slot]  # [sub, 128] f32
         sbase = sbase_ref[t]
 
-        # sender one-hot [window, T]: column e is 1 at row senders[e] - sbase
-        oh_s = jnp.concatenate(
-            [
-                (send_rows + sbase == send_tile[si : si + 1, :]).astype(
-                    oh_dtype
-                )
-                for si in range(sub)
-            ],
-            axis=1,
-        )  # [W, T]
+        def build_oh_s(wbase):
+            # sender one-hot [w_chunk, T]: column e is 1 at row
+            # senders[e] - sbase - wbase (if it lands in this chunk)
+            return jnp.concatenate(
+                [
+                    (
+                        send_rows + (sbase + wbase)
+                        == send_tile[si : si + 1, :]
+                    ).astype(oh_dtype)
+                    for si in range(sub)
+                ],
+                axis=1,
+            )
+
+        def x_chunk_terms(wc):
+            if n_chunks == 1:
+                xw = x_scratch[slot]
+            else:
+                xw = x_scratch[slot, wc * w_chunk : (wc + 1) * w_chunk, :]
+            if fp32_in and x_passes > 1:
+                return _split_bf16(xw, x_passes)
+            return [xw.astype(jnp.bfloat16)]
 
         if w_passes > 1:
             w_terms = _split_bf16(w_tile, w_passes)
@@ -249,11 +270,11 @@ def _fused_kernel(
         else:
             w_terms = [w_tile.astype(oh_dtype)]
 
-        x_win = x_scratch[slot]
-        if fp32_in and x_passes > 1:
-            x_terms = _split_bf16(x_win, x_passes)
-        else:
-            x_terms = [x_win.astype(jnp.bfloat16)]
+        # narrow windows: hoist the single sender one-hot / x split out of
+        # the receiver-window loop (built once per edge tile)
+        if n_chunks == 1:
+            oh_s_hoisted = build_oh_s(0)
+            x_terms_hoisted = x_chunk_terms(0)
 
         # this tile's receiver row span within the block (sorted receivers)
         lo = jnp.clip(recv_tile[0, 0] - row_base, 0, row_block - r_sub)
@@ -266,9 +287,9 @@ def _fused_kernel(
 
         def win_body(wi, _):
             off = lo + wi * r_sub
-            a = jnp.zeros((r_sub, window), acc_dt)
+            # weighted receiver one-hots [r_sub, T]: chunk-independent
+            oh_rs = []
             for wt in w_terms:
-                # weighted receiver one-hot [r_sub, T]
                 if a_int8:
                     oh_r = jnp.concatenate(
                         [
@@ -294,24 +315,35 @@ def _fused_kernel(
                         ],
                         axis=1,
                     )
-                # adjacency block A[r_sub, W]: contract over the edge axis
-                a = a + jax.lax.dot_general(
-                    oh_r,
-                    oh_s,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=acc_dt,
-                )
-            # int32 multiplicities are exact in one bf16 term below 256
-            a_terms = _split_bf16(a.astype(jnp.float32), a_passes)
+                oh_rs.append(oh_r)
+
             part = jnp.zeros((r_sub, out_ref.shape[1]), jnp.float32)
-            for at in a_terms:
-                for xt in x_terms:
-                    part = part + jax.lax.dot_general(
-                        at,
-                        xt,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+            for wc in range(n_chunks):
+                oh_s = oh_s_hoisted if n_chunks == 1 else build_oh_s(
+                    wc * w_chunk
+                )
+                a = jnp.zeros((r_sub, w_chunk), acc_dt)
+                for oh_r in oh_rs:
+                    # adjacency block A[r_sub, Wc]: contract over edge axis
+                    a = a + jax.lax.dot_general(
+                        oh_r,
+                        oh_s,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=acc_dt,
                     )
+                # int32 multiplicities are exact in one bf16 term below 256
+                a_terms = _split_bf16(a.astype(jnp.float32), a_passes)
+                x_terms = (
+                    x_terms_hoisted if n_chunks == 1 else x_chunk_terms(wc)
+                )
+                for at in a_terms:
+                    for xt in x_terms:
+                        part = part + jax.lax.dot_general(
+                            at,
+                            xt,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
             acc_ref[pl.ds(off, r_sub), :] = (
                 acc_ref[pl.ds(off, r_sub), :] + part
             )

@@ -107,7 +107,12 @@ def test_required_window_scattered_vs_rcm():
     s = _ring_sample(n=3000, k=4)
     ei = s.edge_index
     order = np.argsort(ei[1])
-    assert required_window(ei[0][order], s.num_nodes) == -1  # scattered
+    # scattered labels: spans reach the whole 3k-node range, only a wide
+    # window covers; no narrow rung fits
+    assert required_window(ei[0][order], s.num_nodes) == 4096
+    assert required_window(
+        ei[0][order], s.num_nodes, widths=(160, 256, 512, 1024)
+    ) == -1
     s2 = rcm_reorder_sample(s, min_nodes=1)
     ei2 = s2.edge_index
     order2 = np.argsort(ei2[1])
@@ -127,7 +132,7 @@ def test_collate_sets_spmm_window():
     assert gb.spmm_window in (160, 256)  # covers both edge directions
     scattered = [_ring_sample(n=3000, k=4)]
     sb = collate(scattered)
-    assert sb.spmm_window == -1
+    assert sb.spmm_window == 4096  # only a wide window covers pre-RCM
 
 
 def test_fused_kernel_pinned_window_matches_reference():
