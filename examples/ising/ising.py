@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from hydragnn_tpu.graph import GraphSample
 from hydragnn_tpu.data.neighbors import radius_graph_pbc
+from hydragnn_tpu.data.ordering import rcm_reorder_sample
 
 
 def ising_energy(spin: np.ndarray) -> float:
@@ -51,12 +52,18 @@ def make_dataset(n_configs, L, scale_spin, seed=23):
             [config.reshape(-1, 1), pos, spin.reshape(-1, 1)], axis=1
         ).astype(np.float32)
         samples.append(
-            GraphSample(
-                x=x,
-                pos=pos,
-                edge_index=ei,
-                edge_shifts=shifts.astype(np.float32),
-                y_graph=np.asarray([y], np.float32),
+            # RCM relabeling bounds the lattice's adjacency bandwidth so
+            # collate can pin a fused-SpMM sender window instead of falling
+            # back to the unfused path (data/ordering.py; no-op for L^3
+            # below the size threshold)
+            rcm_reorder_sample(
+                GraphSample(
+                    x=x,
+                    pos=pos,
+                    edge_index=ei,
+                    edge_shifts=shifts.astype(np.float32),
+                    y_graph=np.asarray([y], np.float32),
+                )
             )
         )
     return samples

@@ -17,6 +17,7 @@ import flax.linen as nn
 
 from hydragnn_tpu.graph import GraphBatch
 from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.models.layers import split_init
 from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
 from hydragnn_tpu.ops.segment import segment_mean, segment_sum, segment_sum_via_perm
 
@@ -42,13 +43,34 @@ class E_GCL(nn.Module):
                 equiv, s, r, normalize=True, eps=1.0,
                 edge_mask=batch.edge_mask,
             )
-        x_src, x_dst = batch.gather_src_dst(inv)
-        parts = [x_src, x_dst, radial]
+        # transform-then-gather: the first edge-MLP layer is linear in the
+        # concat [x_src, x_dst, radial, e_attr], so W splits column-wise and
+        # the node-feature halves are computed ONCE per node ([N, F] matmuls,
+        # E/N ~ deg times fewer FLOPs than the [E, 2F] form) and gathered as
+        # [E, H] — also half the gather traffic of concat-then-transform.
+        # Same math, same gradients; ref layout (EGCLStack.py:175-298
+        # edge_model) is recovered by concatenating the three kernels.
+        geom_parts = [radial]
         e_attr = ctx.get("edge_attr")
         if self.edge_dim and e_attr is not None:
-            parts.append(e_attr)
-        m = jnp.concatenate(parts, axis=-1)
-        m = jax.nn.relu(nn.Dense(self.hidden_dim, name="edge_mlp_0")(m))
+            geom_parts.append(e_attr)
+        F = inv.shape[-1]
+        g = sum(int(p.shape[-1]) for p in geom_parts)
+        fan_total = 2 * F + g
+        pre_s = nn.Dense(
+            self.hidden_dim, name="edge_mlp_0_src",
+            kernel_init=split_init(F, fan_total),
+        )(inv)
+        pre_d = nn.Dense(
+            self.hidden_dim, use_bias=False, name="edge_mlp_0_dst",
+            kernel_init=split_init(F, fan_total),
+        )(inv)
+        geom = nn.Dense(
+            self.hidden_dim, use_bias=False, name="edge_mlp_0_geom",
+            kernel_init=split_init(g, fan_total),
+        )(jnp.concatenate(geom_parts, axis=-1))
+        m = batch.gather_src(pre_s) + batch.gather_dst(pre_d) + geom
+        m = jax.nn.relu(m)
         m = jax.nn.relu(nn.Dense(self.hidden_dim, name="edge_mlp_1")(m))
         m = m * batch.edge_mask[:, None].astype(m.dtype)
 

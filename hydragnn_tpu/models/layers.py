@@ -98,6 +98,18 @@ def masked_loss_function_selection(name: str):
     raise ValueError(f"Unknown loss function: {name}")
 
 
+def split_init(fan_piece: int, fan_total: int):
+    """Initializer for one column-slice of a linear layer that was split
+    into per-input Denses (transform-then-gather): variance 1/fan_total —
+    the distribution the unsplit [fan_total, out] lecun_normal kernel would
+    have given this slice. Without this, a low-fan piece (e.g. a [1, H]
+    radial column) would get O(1) weights instead of O(1/sqrt(fan_total))
+    and destabilize early training."""
+    return nn.initializers.variance_scaling(
+        fan_piece / fan_total, "fan_in", "truncated_normal"
+    )
+
+
 class MLP(nn.Module):
     """Dense stack: Linear(+act) per hidden layer, final Linear bare unless
     ``activate_final``."""

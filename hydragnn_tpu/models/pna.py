@@ -22,6 +22,7 @@ import flax.linen as nn
 
 from hydragnn_tpu.graph import GraphBatch
 from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.models.layers import split_init
 from hydragnn_tpu.ops.segment import (
     degree,
     segment_max,
@@ -52,14 +53,29 @@ class PNAConv(nn.Module):
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
         N = inv.shape[0]
         F_in = self.in_dim
-        x_src, x_dst = batch.gather_src_dst(inv)
-        parts = [x_dst, x_src]
+        # transform-then-gather: pre_nn is linear in [x_dst, x_src, e_enc],
+        # so its kernel splits column-wise — the node halves are computed
+        # once per node and gathered as [E, F] (deg-fold fewer matmul FLOPs
+        # and half the gather traffic vs the [E, 2F+] concat). Same math as
+        # the reference pre_nn (pre_layers=1, PNAStack.py:42).
+        F = inv.shape[-1]
+        fan_total = 2 * F + (F_in if self.edge_dim else 0)
+        pre_d = nn.Dense(
+            F_in, name="pre_nn_dst", kernel_init=split_init(F, fan_total)
+        )(inv)
+        pre_s = nn.Dense(
+            F_in, use_bias=False, name="pre_nn_src",
+            kernel_init=split_init(F, fan_total),
+        )(inv)
+        h = batch.gather_dst(pre_d) + batch.gather_src(pre_s)
         if self.edge_dim:
             e = ctx.get("edge_attr")
             assert e is not None, "PNA with edge_dim requires edge_attr"
-            parts.append(nn.Dense(F_in, name="edge_encoder")(e))
-        h = jnp.concatenate(parts, axis=-1)
-        h = nn.Dense(F_in, name="pre_nn")(h)  # pre_layers=1
+            enc = nn.Dense(F_in, name="edge_encoder")(e)
+            h = h + nn.Dense(
+                F_in, use_bias=False, name="pre_nn_edge",
+                kernel_init=split_init(F_in, fan_total),
+            )(enc)
 
         m = batch.edge_mask
         r = batch.receivers

@@ -17,6 +17,7 @@ import flax.linen as nn
 
 from hydragnn_tpu.graph import GraphBatch
 from hydragnn_tpu.models.base import HydraBase
+from hydragnn_tpu.models.layers import split_init
 from hydragnn_tpu.models.pna import deg_stats
 from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
 from hydragnn_tpu.ops.radial import envelope
@@ -69,9 +70,28 @@ class PNAPlusConv(nn.Module):
             )
         else:
             enc = rbf_emb
-        x_src, x_dst = batch.gather_src_dst(inv)
-        h = jnp.concatenate([x_dst, x_src, enc], axis=-1)
-        h = nn.Dense(F_in, name="pre_nn")(h)
+        # transform-then-gather (see models/pna.py): pre_nn's kernel splits
+        # over the [x_dst, x_st, enc] concat; node halves computed per node,
+        # gathered as [E, F]. Identical math to the reference's pre_nn MLP
+        # (PNAPlusStack.py:144-216 message path).
+        F = inv.shape[-1]
+        g = int(enc.shape[-1])
+        fan_total = 2 * F + g
+        pre_d = nn.Dense(
+            F_in, name="pre_nn_dst", kernel_init=split_init(F, fan_total)
+        )(inv)
+        pre_s = nn.Dense(
+            F_in, use_bias=False, name="pre_nn_src",
+            kernel_init=split_init(F, fan_total),
+        )(inv)
+        h = (
+            batch.gather_dst(pre_d)
+            + batch.gather_src(pre_s)
+            + nn.Dense(
+                F_in, use_bias=False, name="pre_nn_enc",
+                kernel_init=split_init(g, fan_total),
+            )(enc)
+        )
         h = h * nn.Dense(F_in, use_bias=False, name="rbf_lin")(rbf)
 
         m = batch.edge_mask

@@ -77,3 +77,29 @@ def test_scan_eval_matches_evaluate():
     np.testing.assert_allclose(tasks_a, tasks_b, rtol=1e-6)
     np.testing.assert_allclose(rmse_a, rmse_b, rtol=1e-5)
     np.testing.assert_allclose(mae_a, mae_b, rtol=1e-5)
+
+
+def test_stack_batches_harmonizes_window_hints():
+    """Batches whose collate-time spmm_window hints differ must stack into
+    one scan chunk: the weakest claim wins (-1 beats any width)."""
+    batches = [make_batch(seed=i) for i in range(3)]
+    b0, b1, b2 = batches
+    stacked = stack_batches([
+        b0.replace(spmm_window=160),
+        b1.replace(spmm_window=512),
+        b2.replace(spmm_window=512),
+    ])
+    assert stacked.spmm_window == 512
+    assert stacked.x.shape[0] == 3
+    stacked = stack_batches([
+        b0.replace(spmm_window=160),
+        b1.replace(spmm_window=-1),
+        b2.replace(spmm_window=512),
+    ])
+    assert stacked.spmm_window == -1
+    stacked = stack_batches([
+        b0.replace(spmm_window=None),
+        b1.replace(spmm_window=256),
+        b2.replace(spmm_window=256),
+    ])
+    assert stacked.spmm_window == -1  # unknown anywhere -> no pin

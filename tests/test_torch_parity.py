@@ -130,7 +130,20 @@ def test_egnn_layer_matches_torch():
     pos = np.asarray(batch.pos)
     d = np.sqrt(((pos[r] - pos[s]) ** 2).sum(-1) + 1e-24).astype(np.float32)
     x_t = torch.from_numpy(np.asarray(inv))
-    e0 = _dense_to_linear(p["edge_mlp_0"], torch.nn.Linear(8 + 8 + 1, hd))
+    # edge_mlp_0 is stored split (transform-then-gather): concat the src/
+    # dst/geom kernels back into the reference's [2F+1, hd] layout
+    e0 = torch.nn.Linear(8 + 8 + 1, hd)
+    k = np.concatenate(
+        [
+            np.asarray(p["edge_mlp_0_src"]["kernel"]),
+            np.asarray(p["edge_mlp_0_dst"]["kernel"]),
+            np.asarray(p["edge_mlp_0_geom"]["kernel"]),
+        ],
+        axis=0,
+    )
+    with torch.no_grad():
+        e0.weight.copy_(torch.from_numpy(k.T))
+        e0.bias.copy_(torch.from_numpy(np.asarray(p["edge_mlp_0_src"]["bias"])))
     e1 = _dense_to_linear(p["edge_mlp_1"], torch.nn.Linear(hd, hd))
     n0 = _dense_to_linear(p["node_mlp_0"], torch.nn.Linear(8 + hd, hd))
     n1 = _dense_to_linear(p["node_mlp_1"], torch.nn.Linear(hd, 12))
