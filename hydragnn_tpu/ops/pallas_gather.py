@@ -30,6 +30,7 @@ accumulation (same scheme as pallas_segment.py).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -183,18 +184,30 @@ def gather_rows_windowed(
     tile: int = TILE,
     window: int = WINDOW,
     passes: int = PASSES,
+    f_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """``x[ids]`` via the windowed one-hot MXU kernel; exact for any ids
     (tiles whose id span exceeds ``window`` trigger a whole-call XLA
-    fallback selected at runtime)."""
+    fallback selected at runtime).
+
+    ``f_chunk``: feature width per pallas call. Default sizes it to the
+    WHOLE feature dim when the VMEM scratch allows — chunking re-reads ids
+    and rebuilds the one-hot per chunk, which dominated at wide F (the
+    one-hot build is ∝ window*tile regardless of F)."""
     E = ids.shape[0]
     N, F = x.shape
-    if F > F_CHUNK:
+    if f_chunk is None:
+        # budget ~10 MB of VMEM scratch: NBUF x-windows + f32 acc + out tile
+        itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+        budget = 10 * 1024 * 1024
+        per_col = NBUF * window * itemsize + tile * (4 + itemsize)
+        f_chunk = max(128, (budget // per_col) // 128 * 128)
+    if F > f_chunk:
         parts = [
             gather_rows_windowed(
-                x[:, i : i + F_CHUNK], ids, tile, window, passes
+                x[:, i : i + f_chunk], ids, tile, window, passes, f_chunk
             )
-            for i in range(0, F, F_CHUNK)
+            for i in range(0, F, f_chunk)
         ]
         return jnp.concatenate(parts, axis=-1)
 

@@ -467,3 +467,286 @@ def _segment_sum_csr_impl_v2(
         ),
     )(row_ptr, recv2d, msgs)
     return out[:num_nodes]
+
+
+# --------------------------------------------------------------------------
+# v3 kernel: windowed one-hot segment-sum over UNSORTED-but-local ids.
+#
+# The aggregate-by-sender of receiver-sorted edge lists (EGNN node_model,
+# the backward of every sender gather) previously paid a full [E, F] row
+# permutation (ops/segment.permute_rows) to reuse the sorted kernel — at
+# h=896/E=131k that permute alone is ~2.4 ms and appears several times per
+# conv layer fwd+bwd. Graph-locality makes the permute unnecessary: collate
+# gives every graph a contiguous id range and keeps graphs contiguous in the
+# edge order, so each edge tile's ids span a narrow window and the per-tile
+# window bases advance monotonically. This kernel is the v2 windowed CSR
+# kernel with (a) per-tile id min/max prefetched instead of read from the
+# sorted tile ends, and (b) block->tile ranges from searchsorted over those
+# (monotone-checked) tile extents. One runtime predicate guards
+# monotonicity; `lax.cond` falls back to permute+sorted-kernel, so results
+# are always correct.
+
+
+def _local_kernel_windowed(
+    tile_ptr_ref,  # scalar prefetch: [num_blocks, 2] (t_start, t_end)
+    tmin_ref,  # scalar prefetch: [nt] per-tile id min
+    ids_ref,  # [E_pad // 128, 128] int32 (HBM)
+    msgs_ref,  # [E_pad, F] (HBM)
+    out_ref,  # [row_block, F] VMEM
+    acc_ref,  # [row_block, F] f32 VMEM
+    msg_scratch,
+    ids_scratch,
+    sems,
+    *,
+    row_block: int,
+    edge_tile: int,
+    passes: int,
+    r_sub: int = R_SUB,
+):
+    sub = edge_tile // LANES
+    b = pl.program_id(0)
+    row_base = b * row_block
+    t0 = tile_ptr_ref[b, 0]
+    t1 = tile_ptr_ref[b, 1]
+
+    def get_dma(slot, t):
+        off = pl.multiple_of(t * edge_tile, edge_tile)
+        return (
+            pltpu.make_async_copy(
+                msgs_ref.at[pl.ds(off, edge_tile), :],
+                msg_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                ids_ref.at[pl.ds(t * sub, sub), :],
+                ids_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    for k in range(NBUF - 1):
+        @pl.when(t0 + k < t1)
+        def _(k=k):
+            for d in get_dma(k, t0 + k):
+                d.start()
+
+    acc_ref[:] = jnp.zeros((row_block, out_ref.shape[1]), jnp.float32)
+    win_rows = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
+    fp32_in = msgs_ref.dtype == jnp.float32
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t0, NBUF)
+        nxt = jax.lax.rem(t - t0 + NBUF - 1, NBUF)
+
+        @pl.when(t + NBUF - 1 < t1)
+        def _():
+            for d in get_dma(nxt, t + NBUF - 1):
+                d.start()
+
+        for d in get_dma(slot, t):
+            d.wait()
+
+        ids_tile = ids_scratch[slot]  # [sub, 128] UNSORTED within tile
+        msgs_tile = msg_scratch[slot]
+        if fp32_in and passes > 1:
+            terms = []
+            rem = msgs_tile
+            for _ in range(passes):
+                t_ = rem.astype(jnp.bfloat16)
+                rem = rem - t_.astype(jnp.float32)
+                terms.append(t_)
+        else:
+            terms = [msgs_tile.astype(jnp.bfloat16)]
+
+        # tile's row span within the block: prefetch min + in-tile max (ids
+        # unsorted; padding sentinels are huge and clamp away)
+        tmn = tmin_ref[t]
+        tmx = jnp.max(jnp.where(ids_tile < row_base + row_block,
+                                ids_tile, -1))
+        lo = jnp.clip(tmn - row_base, 0, row_block - r_sub)
+        hi = jnp.clip(tmx - row_base, 0, row_block - 1)
+        lo = (lo // r_sub) * r_sub
+        n_win = jnp.clip((hi - lo) // r_sub + 1, 1, row_block // r_sub)
+
+        def win_body(w, _):
+            off = lo + w * r_sub
+            onehot_t = jnp.concatenate(
+                [
+                    (win_rows + row_base + off
+                     == ids_tile[si : si + 1, :]).astype(jnp.bfloat16)
+                    for si in range(sub)
+                ],
+                axis=1,
+            )  # [r_sub, T]
+            part = jnp.zeros((r_sub, out_ref.shape[1]), jnp.float32)
+            for term in terms:
+                part = part + jax.lax.dot_general(
+                    onehot_t,
+                    term,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_ref[pl.ds(off, r_sub), :] = (
+                acc_ref[pl.ds(off, r_sub), :] + part
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_win, win_body, 0)
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _segment_sum_local_kernel(
+    msgs, ids, num_nodes, tmin, tmax,
+    row_block: int, edge_tile: int, passes: int,
+):
+    E_pad, F = msgs.shape
+    N_pad = _round_up(num_nodes, row_block)
+    num_blocks = N_pad // row_block
+    nt = E_pad // edge_tile
+
+    block_rows = jnp.arange(num_blocks, dtype=jnp.int32) * row_block
+    # tiles intersecting block b: tmax >= b*R (first) .. tmin >= (b+1)*R
+    t_start = jnp.searchsorted(tmax, block_rows, side="left")
+    t_end = jnp.searchsorted(tmin, block_rows + row_block, side="left")
+    tile_ptr = jnp.stack(
+        [jnp.minimum(t_start, nt), jnp.minimum(jnp.maximum(t_end, t_start), nt)],
+        axis=1,
+    ).astype(jnp.int32)
+
+    ids2d = ids.reshape(E_pad // LANES, LANES).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((row_block, F), jnp.float32),
+            pltpu.VMEM((NBUF, edge_tile, F), msgs.dtype),
+            pltpu.VMEM((NBUF, edge_tile // LANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _local_kernel_windowed, row_block=row_block,
+            edge_tile=edge_tile, passes=passes,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_pad, F), msgs.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(tile_ptr, tmin.astype(jnp.int32), ids2d, msgs)
+    return out[:num_nodes]
+
+
+def segment_sum_local(
+    data: jnp.ndarray,
+    ids: jnp.ndarray,
+    num_nodes: int,
+    perm: Optional[jnp.ndarray] = None,
+    row_block: int = 1024,
+    edge_tile: int = 2048,
+    passes: int = PASSES,
+) -> jnp.ndarray:
+    """out[i] = sum_{e: ids[e]==i} data[e] for UNSORTED-but-graph-local ids
+    (e.g. senders of a receiver-sorted edge list) — no row permutation.
+
+    ``perm`` (ids-sorting permutation, e.g. GraphBatch.edge_perm_by_sender)
+    is only used by the runtime FALLBACK when the per-tile id extents are
+    not monotone (arbitrary id order); None falls back to an XLA
+    segment_sum. Returns exactly segment_sum(data, ids).
+    """
+    E, F = data.shape
+    if F <= F_CHUNK:
+        edge_tile = _scale_tile_for_vmem(edge_tile, F)
+    if F > F_CHUNK:
+        parts = [
+            segment_sum_local(
+                data[:, i : i + F_CHUNK], ids, num_nodes, perm,
+                row_block, edge_tile, passes,
+            )
+            for i in range(0, F, F_CHUNK)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
+    E_pad = _round_up(E, edge_tile)
+    if E_pad != E:
+        data_p = jnp.pad(data, ((0, E_pad - E), (0, 0)))
+        ids_p = jnp.pad(
+            ids, (0, E_pad - E), constant_values=np.int32(2**31 - 2)
+        ).astype(jnp.int32)
+    else:
+        data_p, ids_p = data, ids.astype(jnp.int32)
+
+    idt = ids_p.reshape(E_pad // edge_tile, edge_tile)
+    tmin = jnp.min(idt, axis=1)
+    tmax = jnp.max(idt, axis=1)
+    # monotone tile extents <=> block->tile ranges are contiguous
+    ok = jnp.all(tmin[1:] >= tmin[:-1]) & jnp.all(tmax[1:] >= tmax[:-1])
+
+    def fallback():
+        if perm is None:
+            return jax.ops.segment_sum(data_p, ids_p, num_nodes)
+        ids_sorted = ids[perm]
+        return segment_sum_auto(
+            data[perm], ids_sorted, num_nodes, indices_are_sorted=True
+        )
+
+    return jax.lax.cond(
+        ok,
+        lambda: _segment_sum_local_kernel(
+            data_p, ids_p, num_nodes, tmin, tmax,
+            row_block, edge_tile, passes,
+        ),
+        fallback,
+    )
+
+
+def segment_sum_local_auto(
+    data: jnp.ndarray,
+    ids: jnp.ndarray,
+    num_nodes: int,
+    perm: Optional[jnp.ndarray] = None,
+) -> Optional[jnp.ndarray]:
+    """Route through the unsorted-local kernel when eligible, else None."""
+    import os
+
+    eligible = (
+        os.environ.get("HYDRAGNN_TPU_LOCAL_SEGMENT", "1") != "0"
+        and data.ndim == 2
+        and data.shape[1] % 128 == 0
+        and data.dtype in (jnp.float32, jnp.bfloat16)
+        and ids.ndim == 1
+        and data.shape[0] >= 4096
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+    if not eligible:
+        return None
+    return segment_sum_local_vjp(data, ids, num_nodes, perm)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_sum_local_vjp(data, ids, num_nodes, perm):
+    """Differentiable wrapper: d(data) = g[ids] (plain gather; ids are
+    graph-local so XLA's row gather is already fast)."""
+    return segment_sum_local(data, ids, num_nodes, perm)
+
+
+def _local_fwd(data, ids, num_nodes, perm):
+    return segment_sum_local(data, ids, num_nodes, perm), ids
+
+
+def _local_bwd(num_nodes, ids, g):
+    return (g[ids], None, None)
+
+
+segment_sum_local_vjp.defvjp(_local_fwd, _local_bwd)

@@ -245,11 +245,21 @@ def segment_sum_via_perm(
     (GraphBatch.edge_perm_by_sender) so the Pallas sorted-CSR kernel applies —
     used by stacks that aggregate into SENDER nodes (EGNN/PAINN/PNAEq).
     Pass ``inv_perm`` (GraphBatch.edge_perm_by_sender_inv) to make the
-    permutation's backward a gather instead of an unsorted scatter."""
+    permutation's backward a gather instead of an unsorted scatter.
+
+    Fast path: the v3 unsorted-local windowed kernel aggregates straight
+    from the receiver-sorted edge order — no [E, F] permutation at all
+    (ops/pallas_segment.segment_sum_local; graph-locality checked at
+    runtime, permute+sorted-kernel fallback)."""
     if perm is None:
         return jax.ops.segment_sum(
             data, segment_ids, num_segments, indices_are_sorted=False
         )
+    from hydragnn_tpu.ops.pallas_segment import segment_sum_local_auto
+
+    local = segment_sum_local_auto(data, segment_ids, num_segments, perm)
+    if local is not None:
+        return local
     sorted_data = (
         permute_rows(data, perm, inv_perm) if inv_perm is not None
         else data[perm]

@@ -84,12 +84,19 @@ def _gather_fwd(x, ids, perm):
 
 def _gather_bwd(res, g):
     ids, perm, n = res
-    from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
+    from hydragnn_tpu.ops.pallas_segment import (
+        segment_sum_auto,
+        segment_sum_local_auto,
+    )
 
     if g.ndim == 2:
-        dx = segment_sum_auto(
-            g[perm], ids[perm], n, indices_are_sorted=True
-        )
+        # fast path: aggregate the cotangent straight in edge order via the
+        # unsorted-local windowed kernel — skips the [E, F] g[perm] permute
+        dx = segment_sum_local_auto(g, ids, n, perm)
+        if dx is None:
+            dx = segment_sum_auto(
+                g[perm], ids[perm], n, indices_are_sorted=True
+            )
     else:
         dx = jax.ops.segment_sum(
             g[perm], ids[perm], n, indices_are_sorted=True
@@ -125,16 +132,31 @@ def _gather_both_fwd(x, senders, receivers, perm):
 def _gather_both_bwd(res, gs):
     g_s, g_r = gs
     senders, receivers, perm, n = res
-    # ONE sorted segment-sum instead of two: receivers are ascending in
-    # [0, n) and senders[perm] are ascending, so [receivers ‖ senders+n] is
-    # globally sorted over 2n segments; dx = out[:n] + out[n:].
-    ids = jnp.concatenate([receivers, senders[perm] + n])
-    data = jnp.concatenate([g_r, g_s[perm]], axis=0)
-    if data.ndim == 2:
-        from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
+    if g_s.ndim == 2:
+        from hydragnn_tpu.ops.pallas_segment import (
+            segment_sum_auto,
+            segment_sum_local_auto,
+        )
 
+        # fastest: sender cotangent aggregated in edge order by the
+        # unsorted-local kernel (no permute), receiver cotangent by the
+        # sorted kernel
+        ds = segment_sum_local_auto(g_s, senders, n, perm)
+        if ds is not None:
+            dr = segment_sum_auto(
+                g_r, receivers, n, indices_are_sorted=True
+            )
+            return (ds + dr, None, None, None)
+        # merged fallback — ONE sorted segment-sum instead of two:
+        # receivers are ascending in [0, n) and senders[perm] are
+        # ascending, so [receivers ‖ senders+n] is globally sorted over 2n
+        # segments; dx = out[:n] + out[n:].
+        ids = jnp.concatenate([receivers, senders[perm] + n])
+        data = jnp.concatenate([g_r, g_s[perm]], axis=0)
         out = segment_sum_auto(data, ids, 2 * n, indices_are_sorted=True)
     else:
+        ids = jnp.concatenate([receivers, senders[perm] + n])
+        data = jnp.concatenate([g_r, g_s[perm]], axis=0)
         out = jax.ops.segment_sum(data, ids, 2 * n, indices_are_sorted=True)
     return (out[:n] + out[n:], None, None, None)
 
