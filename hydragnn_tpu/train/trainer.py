@@ -141,20 +141,22 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
 
         def graph_energy_of_pos(pos):
             b = batch.replace(pos=pos)
-            pred, _ = _forward(model, params, batch_stats, b, train, rngs)
+            # single forward per step: the mutated batch_stats ride the aux
+            # output of the inner pos-grad (ref Base.energy_force_loss runs
+            # one forward too; round-1 ran a second one just for the stats)
+            pred, new_stats = _forward(model, params, batch_stats, b, train, rngs)
             node_e = pred[0]
             ge = segment_sum(
                 node_e[:, 0] * b.node_mask.astype(node_e.dtype),
                 b.node_graph_idx,
                 b.num_graphs,
             )
-            return jnp.sum(ge), pred
+            return jnp.sum(ge), (pred, new_stats)
 
-        (_, pred), dE_dpos = jax.value_and_grad(
+        (_, (pred, new_stats)), dE_dpos = jax.value_and_grad(
             graph_energy_of_pos, has_aux=True
         )(batch.pos)
         forces_pred = -dE_dpos
-        _, new_stats = _forward(model, params, batch_stats, batch, train, rngs)
         loss, tasks = energy_force_loss(cfg, pred[0], forces_pred, batch)
         return loss, (tasks, pred, new_stats)
 
