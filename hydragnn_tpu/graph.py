@@ -109,6 +109,11 @@ class GraphBatch:
     # unknown (use the default runtime cascade). Giant RCM-ordered graphs
     # (data/ordering.py) get 512/1024 windows here instead of falling back.
     spmm_window: Optional[int] = struct.field(pytree_node=False, default=None)
+    # block-sparse adjacency for GIANT graphs (collate(bcsr_adjacency=True)):
+    # ragged [B, C] int8 tiles built once per batch on the host; turns the
+    # per-layer aggregation into a streamed banded MXU matmul with no
+    # per-layer A-build (ops/bcsr.py). Forward + transposed tile sets.
+    bcsr: Optional[Any] = None  # ops.bcsr.BCSR
     # graph-parallel halo exchange layout (parallel/halo.partition_batch):
     # gp_send_idx[src, dest, :] = local node rows shard `src` sends to shard
     # `dest`; gp_sender_slot[e] indexes the per-shard extended buffer
@@ -195,6 +200,7 @@ def collate(
     sort_edges_by_receiver: bool = True,
     node_slot: Optional[int] = None,
     dense_adjacency: bool = False,
+    bcsr_adjacency: bool = False,
 ) -> GraphBatch:
     """Concatenate + pad host samples into one static-shape ``GraphBatch``.
 
@@ -206,6 +212,11 @@ def collate(
     graph g's nodes at rows [g*S, g*S + n_g)) so node arrays reshape to
     [Gp, S, F]; ``dense_adjacency=True`` additionally builds the [Gp, S, S]
     block-diagonal adjacency, enabling the batched-matmul SpMM path.
+
+    ``bcsr_adjacency=True`` builds the block-sparse ragged-tile adjacency
+    for GIANT (RCM-ordered) graphs — the streamed banded-matmul aggregation
+    path (ops/bcsr.py). Host build is O(E); worth it when the batch is
+    reused over many layers/steps.
     """
     G = len(samples)
     tot_n = sum(s.num_nodes for s in samples)
@@ -388,6 +399,12 @@ def collate(
 
         adjacency = adjacency.astype(ml_dtypes.bfloat16)
 
+    bcsr = None
+    if bcsr_adjacency and tot_e:
+        from hydragnn_tpu.ops.bcsr import build_bcsr
+
+        bcsr = build_bcsr(senders, receivers, edge_mask, N)
+
     # single batched device_put for all fields (one dispatch, not 14)
     host = dict(
         x=x, pos=pos, senders=senders, receivers=receivers,
@@ -407,6 +424,7 @@ def collate(
     return GraphBatch(
         node_slot=node_slot,
         spmm_window=spmm_window,
+        bcsr=bcsr,
         edge_attr=dev.get("edge_attr"),
         graph_y=dev.get("graph_y"),
         node_y=dev.get("node_y"),

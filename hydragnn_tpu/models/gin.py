@@ -31,6 +31,7 @@ class GINConv(nn.Module):
             perm_by_sender=batch.edge_perm_by_sender,
             adjacency=batch.adjacency,
             gp=batch.gp,
+            bcsr=batch.bcsr,
             window_hint=batch.spmm_window,
         )
         h = (1.0 + eps) * inv + agg

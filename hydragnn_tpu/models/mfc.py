@@ -39,6 +39,7 @@ class MFConv(nn.Module):
             perm_by_sender=batch.edge_perm_by_sender,
             adjacency=batch.adjacency,
             gp=batch.gp,
+            bcsr=batch.bcsr,
             window_hint=batch.spmm_window,
         )
         deg = degree(batch.receivers, inv.shape[0], mask=batch.edge_mask)

@@ -25,6 +25,7 @@ class SAGEConv(nn.Module):
             perm_by_sender=batch.edge_perm_by_sender,
             adjacency=batch.adjacency,
             gp=batch.gp,
+            bcsr=batch.bcsr,
             window_hint=batch.spmm_window,
         )
         h = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(

@@ -291,15 +291,18 @@ def gather_scatter_sum(
     adjacency: Optional[jnp.ndarray] = None,
     gp: Optional[tuple] = None,
     window_hint: Optional[int] = None,
+    bcsr=None,
 ) -> jnp.ndarray:
     """SpMM: out[r] += w_e * x[s].
 
     Fastest first: (1) dense block-diagonal ``adjacency`` bmm when the batch
     was collated with node slots (one batched MXU matmul, zero gather/
-    scatter; masks are built into A), (2) the FUSED adjacency-block Pallas
-    kernel (ops/pallas_spmm.py — no [E, F] intermediate in HBM, ~2x the
-    unfused kernel pipeline and ~8x XLA on v5e), (3) gather + segment-sum
-    with a sorted backward via ``perm_by_sender``.
+    scatter; masks are built into A), (1b) the block-sparse ``bcsr`` banded
+    matmul for GIANT graphs (collate(bcsr_adjacency=True); edge masks are
+    baked into the tiles), (2) the FUSED adjacency-block Pallas kernel
+    (ops/pallas_spmm.py — no [E, F] intermediate in HBM, ~2x the unfused
+    kernel pipeline and ~8x XLA on v5e), (3) gather + segment-sum with a
+    sorted backward via ``perm_by_sender``.
 
     ``gp=(gp_send_idx, gp_sender_slot)`` (GraphBatch.gp, set by
     parallel/halo.partition_batch) + an enabled halo-exchange context routes
@@ -336,6 +339,20 @@ def gather_scatter_sum(
             return fn(node_feat, gp[0], gp[1], receivers, w)
     if adjacency is not None and edge_weight is None and node_feat.ndim == 2:
         return adjacency_spmm(jax.lax.stop_gradient(adjacency), node_feat)
+    if (
+        bcsr is not None
+        and edge_weight is None
+        and node_feat.ndim == 2
+        and node_feat.shape[1] % 128 == 0
+        and node_feat.dtype in (jnp.float32, jnp.bfloat16)
+        and jax.default_backend() not in ("cpu", "gpu")
+    ):
+        import os
+
+        if os.environ.get("HYDRAGNN_TPU_BCSR", "1") != "0":
+            from hydragnn_tpu.ops.bcsr import bcsr_spmm
+
+            return bcsr_spmm(node_feat, bcsr)
     from hydragnn_tpu.ops.pallas_spmm import spmm_fused_auto
 
     fused = spmm_fused_auto(
@@ -372,13 +389,14 @@ def gather_scatter_mean(
     adjacency: Optional[jnp.ndarray] = None,
     gp: Optional[tuple] = None,
     window_hint: Optional[int] = None,
+    bcsr=None,
 ) -> jnp.ndarray:
     """Mean-aggregated SpMM: gather_scatter_sum / in-degree (fused-kernel
     eligible, unlike gathering then segment_mean)."""
     s = gather_scatter_sum(
         node_feat, senders, receivers, num_nodes,
         edge_mask=edge_mask, perm_by_sender=perm_by_sender,
-        adjacency=adjacency, gp=gp, window_hint=window_hint,
+        adjacency=adjacency, gp=gp, window_hint=window_hint, bcsr=bcsr,
     )
     cnt = degree(receivers, num_nodes, edge_mask)
     cnt = jnp.maximum(cnt, 1.0).reshape(
