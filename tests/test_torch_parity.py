@@ -68,6 +68,104 @@ def test_gin_conv_matches_torch():
     )
 
 
+def test_sage_conv_matches_torch():
+    """SAGEConv: out = lin_l(mean_j x_j) + lin_r(x_i), lin_r bias-free
+    (ref: models/SAGEStack.py:21-47 via PyG SAGEConv defaults)."""
+    from hydragnn_tpu.models.sage import SAGEConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=3)
+    inv = batch.x
+    conv = SAGEConv(8, 16)
+    variables = conv.init(jax.random.PRNGKey(3), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    x_t = torch.from_numpy(np.asarray(inv))
+    lin_l = _dense_to_linear(p["lin_l"], torch.nn.Linear(8, 16))
+    lin_r = _dense_to_linear(p["lin_r"], torch.nn.Linear(8, 16, bias=False))
+    agg = torch.zeros_like(x_t)
+    agg.index_add_(0, torch.from_numpy(r.astype(np.int64)), x_t[s])
+    cnt = torch.zeros(inv.shape[0])
+    cnt.index_add_(0, torch.from_numpy(r.astype(np.int64)),
+                   torch.ones(len(r)))
+    mean = agg / cnt.clamp(min=1.0)[:, None]
+    want = lin_l(mean) + lin_r(x_t)
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_mfc_conv_matches_torch():
+    """MFConv: degree-specific weights — out_i = W_root[d_i] x_i + b[d_i]
+    + W_nbr[d_i] sum_j x_j with d_i = min(deg_i, max_degree)
+    (ref: models/MFCStack.py:21-53 via PyG MFConv)."""
+    from hydragnn_tpu.models.mfc import MFConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=4)
+    inv = batch.x
+    conv = MFConv(8, 16, max_degree=5)
+    variables = conv.init(jax.random.PRNGKey(4), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    x_t = torch.from_numpy(np.asarray(inv))
+    w_root = torch.from_numpy(np.asarray(p["w_root"]))
+    b_root = torch.from_numpy(np.asarray(p["b_root"]))
+    w_nbr = torch.from_numpy(np.asarray(p["w_nbr"]))
+    agg = torch.zeros_like(x_t)
+    agg.index_add_(0, torch.from_numpy(r.astype(np.int64)), x_t[s])
+    cnt = torch.zeros(inv.shape[0])
+    cnt.index_add_(0, torch.from_numpy(r.astype(np.int64)),
+                   torch.ones(len(r)))
+    d = cnt.long().clamp(max=5)
+    want = (
+        torch.einsum("ni,nio->no", x_t, w_root[d])
+        + b_root[d]
+        + torch.einsum("ni,nio->no", agg, w_nbr[d])
+    )
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_cgcnn_conv_matches_torch():
+    """CGConv: out_i = x_i + sum_j sigmoid(lin_f([x_i,x_j])) *
+    softplus(lin_s([x_i,x_j])) (ref: models/CGCNNStack.py:21-113 via PyG
+    CGConv, aggr='add')."""
+    from hydragnn_tpu.models.cgcnn import CGConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=5)
+    inv = batch.x
+    conv = CGConv(channels=8)
+    variables = conv.init(jax.random.PRNGKey(5), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    x_t = torch.from_numpy(np.asarray(inv))
+    lin_f = _dense_to_linear(p["lin_f"], torch.nn.Linear(16, 8))
+    lin_s = _dense_to_linear(p["lin_s"], torch.nn.Linear(16, 8))
+    z = torch.cat([x_t[r], x_t[s]], dim=1)
+    msg = torch.sigmoid(lin_f(z)) * torch.nn.functional.softplus(lin_s(z))
+    agg = torch.zeros_like(x_t)
+    agg.index_add_(0, torch.from_numpy(r.astype(np.int64)), msg)
+    want = x_t + agg
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_schnet_cfconv_matches_torch():
     """CFConv: W = mlp(gauss_rbf(d)) * cosine_cutoff(d);
     out = lin2(sum_j lin1(x_j) * W_ij)
@@ -108,6 +206,588 @@ def test_schnet_cfconv_matches_torch():
     nm = np.asarray(batch.node_mask)
     np.testing.assert_allclose(
         np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_gatv2_conv_matches_torch():
+    """GATv2Conv: logits a^T LeakyReLU(lin_l(x_j) + lin_r(x_i)), softmax
+    over incoming edges + implicit self loop, attention-weighted sum of
+    source transforms, head-concat (ref: models/GATStack.py:20-208 via PyG
+    GATv2Conv heads=6, negative_slope=0.05, add_self_loops=True)."""
+    from hydragnn_tpu.models.gat import GATv2Conv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=6)
+    inv = batch.x
+    H, C = 4, 5
+    conv = GATv2Conv(8, C, heads=H, concat=True)
+    variables = conv.init(jax.random.PRNGKey(6), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    N = inv.shape[0]
+    x_t = torch.from_numpy(np.asarray(inv))
+    lin_l = _dense_to_linear(p["lin_l"], torch.nn.Linear(8, H * C))
+    lin_r = _dense_to_linear(p["lin_r"], torch.nn.Linear(8, H * C))
+    att = torch.from_numpy(np.asarray(p["att"]))  # [1, H, C]
+    bias = torch.from_numpy(np.asarray(p["bias"]))
+    xl = lin_l(x_t).reshape(N, H, C)
+    xr = lin_r(x_t).reshape(N, H, C)
+    # edge list + explicit self loops (PyG add_self_loops)
+    s2 = np.concatenate([s, np.arange(N)])
+    r2 = np.concatenate([r, np.arange(N)])
+    z = torch.nn.functional.leaky_relu(xl[s2] + xr[r2], 0.05)
+    logits = (z * att).sum(-1)  # [E+N, H]
+    # per-receiver softmax
+    alpha = torch.zeros_like(logits)
+    r2t = torch.from_numpy(r2.astype(np.int64))
+    mx = torch.full((N, H), -torch.inf)
+    mx = mx.index_reduce_(0, r2t, logits, "amax", include_self=False)
+    ex = torch.exp(logits - mx[r2])
+    den = torch.zeros(N, H).index_add_(0, r2t, ex)
+    alpha = ex / den[r2]
+    msg = alpha[..., None] * xl[s2]
+    out = torch.zeros(N, H, C).index_add_(0, r2t, msg)
+    want = out.reshape(N, H * C) + bias
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_pna_conv_matches_torch():
+    """PNAConv (towers=1, pre/post_layers=1): h_ij = pre_nn([x_i, x_j]);
+    aggregators [mean,min,max,std] x scalers [identity, amplification,
+    attenuation, linear] from the degree histogram; update
+    lin(post_nn([x_i, agg])) (ref: models/PNAStack.py:19-70 via PyG
+    PNAConv/DegreeScalerAggregation)."""
+    from hydragnn_tpu.models.pna import PNAConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=7)
+    inv = batch.x
+    deg_hist = (0, 0, 2, 10, 6)
+    conv = PNAConv(8, 16, deg_hist=deg_hist)
+    variables = conv.init(jax.random.PRNGKey(7), inv, batch.pos, batch, {})
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    N = inv.shape[0]
+    x_t = torch.from_numpy(np.asarray(inv))
+    # pre_nn kernel is stored split over [x_dst, x_src]: rebuild [2F -> F]
+    pre = torch.nn.Linear(16, 8)
+    k = np.concatenate(
+        [
+            np.asarray(p["pre_nn_dst"]["kernel"]),
+            np.asarray(p["pre_nn_src"]["kernel"]),
+        ],
+        axis=0,
+    )
+    with torch.no_grad():
+        pre.weight.copy_(torch.from_numpy(k.T))
+        pre.bias.copy_(torch.from_numpy(np.asarray(p["pre_nn_dst"]["bias"])))
+    post = _dense_to_linear(p["post_nn"], torch.nn.Linear(8 + 16 * 8, 16))
+    lin = _dense_to_linear(p["lin"], torch.nn.Linear(16, 16))
+
+    h = pre(torch.cat([x_t[r], x_t[s]], dim=1))  # [E, 8]
+    rt = torch.from_numpy(r.astype(np.int64))
+    cnt = torch.zeros(N).index_add_(0, rt, torch.ones(len(r)))
+    ssum = torch.zeros(N, 8).index_add_(0, rt, h)
+    mean = ssum / cnt.clamp(min=1.0)[:, None]
+    mean2 = torch.zeros(N, 8).index_add_(0, rt, h * h) / cnt.clamp(
+        min=1.0
+    )[:, None]
+    std = torch.sqrt(torch.relu(mean2 - mean * mean) + 1e-5)
+    mx = torch.full((N, 8), -torch.inf).index_reduce_(
+        0, rt, h, "amax", include_self=False
+    )
+    mn = torch.full((N, 8), torch.inf).index_reduce_(
+        0, rt, h, "amin", include_self=False
+    )
+    has = (cnt > 0)[:, None]
+    mx = torch.where(has, mx, torch.zeros(())).float()
+    mn = torch.where(has, mn, torch.zeros(())).float()
+    agg = torch.cat([mean, mn, mx, std], dim=1)  # [N, 32]
+
+    hist = np.asarray(deg_hist, np.float64)
+    dd = np.arange(len(deg_hist), dtype=np.float64)
+    avg_lin = (dd * hist).sum() / hist.sum()
+    avg_log = (np.log(dd + 1.0) * hist).sum() / hist.sum()
+    d = cnt.clamp(min=1.0)[:, None]
+    logd = torch.log(d + 1.0)
+    scaled = torch.cat(
+        [agg, agg * (logd / avg_log), agg * (avg_log / logd),
+         agg * (d / avg_lin)],
+        dim=1,
+    )
+    want = lin(post(torch.cat([x_t, scaled], dim=1)))
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pnaplus_conv_matches_torch():
+    """PNAPlusConv: m_ij = pre_nn([x_i, x_j, relu(rbf_emb(rbf))]) *
+    rbf_lin(rbf) with trainable-frequency Bessel rbf + DimeNet envelope,
+    then the PNA aggregator/scaler block (ref: models/PNAPlusStack.py:40-304
+    — local PNAConv message at :144-216)."""
+    from hydragnn_tpu.models.pnaplus import BesselBasisLayer, PNAPlusConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=8)
+    inv = batch.x
+    deg_hist = (0, 0, 2, 10, 6)
+    cutoff, nr, p_env = 5.0, 6, 5
+    rbf_layer = BesselBasisLayer(nr, cutoff, p_env)
+    pos = np.asarray(batch.pos)
+    sa, ra = np.asarray(batch.senders), np.asarray(batch.receivers)
+    d_all = np.sqrt(((pos[ra] - pos[sa]) ** 2).sum(-1) + 1e-24).astype(
+        np.float32
+    )
+    rbf_vars = rbf_layer.init(jax.random.PRNGKey(80), jnp.asarray(d_all))
+    rbf = rbf_layer.apply(rbf_vars, jnp.asarray(d_all))
+
+    conv = PNAPlusConv(8, 16, deg_hist=deg_hist, num_radial=nr)
+    variables = conv.init(
+        jax.random.PRNGKey(8), inv, batch.pos, batch, {"rbf": rbf}
+    )
+    out_jax, _ = conv.apply(variables, inv, batch.pos, batch, {"rbf": rbf})
+
+    p = variables["params"]
+    s, r = _real_edges(batch)
+    em = np.asarray(batch.edge_mask)
+    N = inv.shape[0]
+    x_t = torch.from_numpy(np.asarray(inv))
+    # torch-side Bessel rbf with the DimeNet polynomial envelope
+    d = torch.from_numpy(d_all[em])
+    freq = torch.from_numpy(np.asarray(rbf_vars["params"]["freq"]))
+    dn = d / cutoff
+    pp = p_env + 1
+    a_c = -(pp + 1) * (pp + 2) / 2.0
+    b_c = pp * (pp + 2)
+    c_c = -pp * (pp + 1) / 2.0
+    xp = dn ** (pp - 1)
+    env = 1.0 / dn.clamp(min=1e-12) + a_c * xp + b_c * xp * dn + \
+        c_c * xp * dn * dn
+    rbf_t = env[:, None] * torch.sin(freq * dn[:, None])
+
+    rbf_emb = _dense_to_linear(p["rbf_emb"], torch.nn.Linear(nr, 8))
+    enc = torch.relu(rbf_emb(rbf_t))
+    pre = torch.nn.Linear(24, 8)
+    k = np.concatenate(
+        [
+            np.asarray(p["pre_nn_dst"]["kernel"]),
+            np.asarray(p["pre_nn_src"]["kernel"]),
+            np.asarray(p["pre_nn_enc"]["kernel"]),
+        ],
+        axis=0,
+    )
+    with torch.no_grad():
+        pre.weight.copy_(torch.from_numpy(k.T))
+        pre.bias.copy_(torch.from_numpy(np.asarray(p["pre_nn_dst"]["bias"])))
+    rbf_lin = _dense_to_linear(
+        p["rbf_lin"], torch.nn.Linear(nr, 8, bias=False)
+    )
+    post = _dense_to_linear(p["post_nn"], torch.nn.Linear(8 + 16 * 8, 16))
+    lin = _dense_to_linear(p["lin"], torch.nn.Linear(16, 16))
+
+    h = pre(torch.cat([x_t[r], x_t[s], enc], dim=1)) * rbf_lin(rbf_t)
+    rt = torch.from_numpy(r.astype(np.int64))
+    cnt = torch.zeros(N).index_add_(0, rt, torch.ones(len(r)))
+    ssum = torch.zeros(N, 8).index_add_(0, rt, h)
+    mean = ssum / cnt.clamp(min=1.0)[:, None]
+    mean2 = torch.zeros(N, 8).index_add_(0, rt, h * h) / cnt.clamp(
+        min=1.0
+    )[:, None]
+    std = torch.sqrt(torch.relu(mean2 - mean * mean) + 1e-5)
+    mx = torch.full((N, 8), -torch.inf).index_reduce_(
+        0, rt, h, "amax", include_self=False
+    )
+    mn = torch.full((N, 8), torch.inf).index_reduce_(
+        0, rt, h, "amin", include_self=False
+    )
+    has = (cnt > 0)[:, None]
+    mx = torch.where(has, mx, torch.zeros(())).float()
+    mn = torch.where(has, mn, torch.zeros(())).float()
+    agg = torch.cat([mean, mn, mx, std], dim=1)
+
+    hist = np.asarray(deg_hist, np.float64)
+    dd = np.arange(len(deg_hist), dtype=np.float64)
+    avg_lin = (dd * hist).sum() / hist.sum()
+    avg_log = (np.log(dd + 1.0) * hist).sum() / hist.sum()
+    dcl = cnt.clamp(min=1.0)[:, None]
+    logd = torch.log(dcl + 1.0)
+    scaled = torch.cat(
+        [agg, agg * (logd / avg_log), agg * (avg_log / logd),
+         agg * (dcl / avg_lin)],
+        dim=1,
+    )
+    want = lin(post(torch.cat([x_t, scaled], dim=1)))
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[nm], want.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_painn_conv_matches_torch():
+    """PainnConv = PainnMessage (sinc rbf x cosine cutoff filters; gather
+    from edge_index[1], scatter into edge_index[0] — the reference's
+    reversed flow) + PainnUpdate (U/V mixing) + embed-out MLP
+    (ref: models/PAINNStack.py:194-320, sinc_expansion:322, cutoff:332)."""
+    from hydragnn_tpu.models.painn import PainnConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=9)
+    inv = batch.x
+    ns, nr, cutoff = 8, 6, 5.0
+    N = inv.shape[0]
+    pos = np.asarray(batch.pos)
+    sa, ra = np.asarray(batch.senders), np.asarray(batch.receivers)
+    vec = (pos[ra] - pos[sa]).astype(np.float32)
+    dist_all = np.sqrt((vec ** 2).sum(-1, keepdims=True) + 1e-24).astype(
+        np.float32
+    )
+    diff_all = vec / np.maximum(dist_all, 1e-12)
+    ctx = {
+        "diff": jnp.asarray(diff_all),
+        "dist": jnp.asarray(np.maximum(dist_all, 1e-12)),
+    }
+    equiv = jnp.zeros((N, 3, ns), jnp.float32)
+    conv = PainnConv(ns, ns, num_radial=nr, cutoff=cutoff, last_layer=False)
+    variables = conv.init(jax.random.PRNGKey(9), inv, equiv, batch, ctx)
+    out_s, out_v = conv.apply(variables, inv, equiv, batch, ctx)
+
+    p = variables["params"]
+    em = np.asarray(batch.edge_mask)
+    s, r = sa[em], ra[em]
+    x_t = torch.from_numpy(np.asarray(inv))
+    v_t = torch.zeros(N, 3, ns)
+    d = torch.from_numpy(dist_all[em])  # [E, 1]
+    diff = torch.from_numpy(diff_all[em])  # [E, 3]
+
+    pm = p["message"]
+    nvec = torch.arange(1, nr + 1).float()
+    rbf = torch.sin(nvec * math.pi * d / cutoff) / d
+    fl = _dense_to_linear(pm["filter_layer"], torch.nn.Linear(nr, ns * 3))
+    fcut = torch.where(
+        d < cutoff, 0.5 * (torch.cos(math.pi * d / cutoff) + 1.0),
+        torch.zeros(()),
+    )
+    fw = fl(rbf) * fcut
+    sm0 = _dense_to_linear(pm["scalar_mlp_0"], torch.nn.Linear(ns, ns))
+    sm1 = _dense_to_linear(pm["scalar_mlp_1"], torch.nn.Linear(ns, ns * 3))
+    h = sm1(torch.nn.functional.silu(sm0(x_t)))
+    filter_out = fw * h[r]  # gather from edge_index[1]
+    gate_v, gate_e, msg_s = torch.split(filter_out, ns, dim=1)
+    msg_v = v_t[r] * gate_v[:, None, :]
+    msg_v = msg_v + gate_e[:, None, :] * (diff / d)[:, :, None]
+    st = torch.from_numpy(s.astype(np.int64))
+    res_s = torch.zeros(N, ns).index_add_(0, st, msg_s)
+    res_v = torch.zeros(N, 3, ns).index_add_(0, st, msg_v)
+    s_feat = x_t + res_s
+    v_feat = v_t + res_v
+
+    pu = p["update"]
+    U = _dense_to_linear(pu["update_U"], torch.nn.Linear(ns, ns))
+    V = _dense_to_linear(pu["update_V"], torch.nn.Linear(ns, ns))
+    Uv = U(v_feat)
+    Vv = V(v_feat)
+    Vn = torch.sqrt((Vv * Vv).sum(1) + 1e-24)
+    um0 = _dense_to_linear(pu["update_mlp_0"], torch.nn.Linear(2 * ns, ns))
+    um1 = _dense_to_linear(pu["update_mlp_1"], torch.nn.Linear(ns, ns * 3))
+    hh = um1(torch.nn.functional.silu(um0(torch.cat([Vn, s_feat], dim=1))))
+    inner = (Uv * Vv).sum(1)
+    a_vv, a_sv, a_ss = torch.split(hh, ns, dim=1)
+    s_feat = s_feat + a_sv * inner + a_ss
+    v_feat = v_feat + a_vv[:, None, :] * Uv
+
+    ne0 = _dense_to_linear(p["node_embed_0"], torch.nn.Linear(ns, ns))
+    ne1 = _dense_to_linear(p["node_embed_1"], torch.nn.Linear(ns, ns))
+    want_s = ne1(torch.tanh(ne0(s_feat)))
+    ve = _dense_to_linear(p["vec_embed"], torch.nn.Linear(ns, ns))
+    want_v = ve(v_feat)
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_s)[nm], want_s.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_v)[nm], want_v.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_gps_attention_matches_torch_mha():
+    """MaskedGraphAttention == torch.nn.MultiheadAttention over the node
+    sequence with a per-graph block mask — the static-shape equivalent of
+    the reference's to_dense_batch + MHA (ref: globalAtt/gps.py:103-159).
+    Flax qkv kernel maps onto torch in_proj."""
+    from hydragnn_tpu.models.gps import MaskedGraphAttention
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=13)
+    N = batch.num_nodes
+    C, H = 8, 2
+    x = jnp.asarray(
+        np.random.RandomState(14).randn(N, C).astype(np.float32)
+    )
+    attn = MaskedGraphAttention(C, H)
+    variables = attn.init(jax.random.PRNGKey(13), x, batch)
+    out_jax = attn.apply(variables, x, batch)
+
+    p = variables["params"]
+    mha = torch.nn.MultiheadAttention(C, H, batch_first=True)
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(
+            torch.from_numpy(np.asarray(p["qkv"]["kernel"]).T)
+        )
+        mha.in_proj_bias.copy_(
+            torch.from_numpy(np.asarray(p["qkv"]["bias"]))
+        )
+        mha.out_proj.weight.copy_(
+            torch.from_numpy(np.asarray(p["out_proj"]["kernel"]).T)
+        )
+        mha.out_proj.bias.copy_(
+            torch.from_numpy(np.asarray(p["out_proj"]["bias"]))
+        )
+    gi = np.asarray(batch.node_graph_idx)
+    valid = np.asarray(batch.node_mask)
+    allowed = (gi[:, None] == gi[None, :]) & valid[None, :]
+    x_t = torch.from_numpy(np.asarray(x))[None]
+    want, _ = mha(
+        x_t, x_t, x_t,
+        attn_mask=torch.from_numpy(~allowed),
+        need_weights=False,
+    )
+    want = want[0].detach().numpy() * valid[:, None]
+
+    np.testing.assert_allclose(
+        np.asarray(out_jax)[valid], want[valid], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dimenet_interaction_output_match_torch():
+    """DimeNet++ InteractionPPBlock (directional triplet message passing)
+    + OutputPPBlock vs a plain-torch transcription on real triplet indices
+    (ref: models/DIMEStack.py:232-305 via PyG dimenet InteractionPPBlock /
+    OutputPPBlock)."""
+    from hydragnn_tpu.models.dimenet import (
+        InteractionPPBlock,
+        OutputPPBlock,
+        build_triplets,
+    )
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=11)
+    trip = build_triplets(batch, max_neighbours=4)
+    E = batch.num_edges
+    hidden, int_emb, basis_emb, n_sph, n_rad = 8, 6, 4, 3, 5
+    rng = np.random.RandomState(12)
+    x_edge = jnp.asarray(rng.randn(E, hidden).astype(np.float32))
+    rbf = jnp.asarray(rng.randn(E, n_rad).astype(np.float32))
+    T = trip.idx_kj.shape[0]
+    sbf = jnp.asarray(rng.randn(T, n_sph * n_rad).astype(np.float32))
+
+    block = InteractionPPBlock(hidden, int_emb, basis_emb, n_sph, n_rad, 1, 1)
+    variables = block.init(jax.random.PRNGKey(11), x_edge, rbf, sbf, trip)
+    out_jax = block.apply(variables, x_edge, rbf, sbf, trip)
+
+    p = variables["params"]
+    act = torch.nn.functional.silu
+    xt = torch.from_numpy(np.asarray(x_edge))
+    rt = torch.from_numpy(np.asarray(rbf))
+    st = torch.from_numpy(np.asarray(sbf))
+    L = lambda name, i, o, bias=True: _dense_to_linear(
+        p[name], torch.nn.Linear(i, o, bias=bias)
+    )
+    x_ji = act(L("lin_ji", hidden, hidden)(xt))
+    x_kj = act(L("lin_kj", hidden, hidden)(xt))
+    r1 = L("lin_rbf1", n_rad, basis_emb, bias=False)(rt)
+    r2 = L("lin_rbf2", basis_emb, hidden, bias=False)(r1)
+    x_kj = x_kj * r2
+    x_kj = act(L("lin_down", hidden, int_emb, bias=False)(x_kj))
+    s1 = L("lin_sbf1", n_sph * n_rad, basis_emb, bias=False)(st)
+    s2 = L("lin_sbf2", basis_emb, int_emb, bias=False)(s1)
+    tm = np.asarray(trip.mask)
+    kj = np.asarray(trip.idx_kj)
+    ji = np.asarray(trip.idx_ji)
+    t = x_kj[kj] * s2 * torch.from_numpy(tm.astype(np.float32))[:, None]
+    agg = torch.zeros(E, int_emb).index_add_(
+        0, torch.from_numpy(ji.astype(np.int64)), t
+    )
+    x_kj2 = act(L("lin_up", int_emb, hidden, bias=False)(agg))
+    h = x_ji + x_kj2
+
+    def residual(prefix, v):
+        q = p[prefix]
+        keys = sorted(q.keys())
+        l0 = _dense_to_linear(q[keys[0]], torch.nn.Linear(hidden, hidden))
+        l1 = _dense_to_linear(q[keys[1]], torch.nn.Linear(hidden, hidden))
+        return v + act(l1(act(l0(v))))
+
+    h = residual("before_skip_0", h)
+    h = act(L("lin", hidden, hidden)(h)) + xt
+    h = residual("after_skip_0", h)
+    np.testing.assert_allclose(
+        np.asarray(out_jax), h.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+
+    # OutputPPBlock on the interaction output
+    out_emb, out_ch = 10, 7
+    ob = OutputPPBlock(n_rad, hidden, out_emb, out_ch)
+    ovars = ob.init(
+        jax.random.PRNGKey(12), out_jax, rbf, batch.receivers,
+        batch.num_nodes, batch.edge_mask,
+    )
+    o_jax = ob.apply(
+        ovars, out_jax, rbf, batch.receivers, batch.num_nodes,
+        batch.edge_mask,
+    )
+    q = ovars["params"]
+    g = _dense_to_linear(
+        q["lin_rbf"], torch.nn.Linear(n_rad, hidden, bias=False)
+    )(rt)
+    em = np.asarray(batch.edge_mask).astype(np.float32)
+    xo = g * h * torch.from_numpy(em)[:, None]
+    aggn = torch.zeros(batch.num_nodes, hidden).index_add_(
+        0,
+        torch.from_numpy(np.asarray(batch.receivers).astype(np.int64)),
+        xo,
+    )
+    u = _dense_to_linear(
+        q["lin_up"], torch.nn.Linear(hidden, out_emb, bias=False)
+    )(aggn)
+    u = act(_dense_to_linear(q["lin_0"], torch.nn.Linear(out_emb, out_emb))(u))
+    want = _dense_to_linear(
+        q["lin_out"], torch.nn.Linear(out_emb, out_ch, bias=False)
+    )(u)
+    np.testing.assert_allclose(
+        np.asarray(o_jax), want.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pnaeq_conv_matches_torch():
+    """PNAEqConv: PAINN-style scalar+vector message with PNA
+    DegreeScalerAggregation (5 scalers incl. inverse_linear) aggregated into
+    SOURCE nodes, then a PAINN U/V update + embed-out
+    (ref: models/PNAEqStack.py:41-493, aggregation at :370-383)."""
+    from hydragnn_tpu.models.pnaeq import PNAEqConv
+
+    batch = make_batch(n_graphs=3, n=6, deg=3, in_dim=8, seed=10)
+    inv = batch.x
+    ns, nr, cutoff = 8, 6, 5.0
+    deg_hist = (0, 0, 2, 10, 6)
+    N = inv.shape[0]
+    pos = np.asarray(batch.pos)
+    sa, ra = np.asarray(batch.senders), np.asarray(batch.receivers)
+    vec = (pos[ra] - pos[sa]).astype(np.float32)
+    dist_all = np.sqrt((vec ** 2).sum(-1) + 1e-24).astype(np.float32)
+    diff_all = vec / np.maximum(dist_all[:, None], 1e-12)
+    d_all = np.maximum(dist_all, 1e-12)
+    nvec_np = np.arange(1, nr + 1)
+    rbf_all = np.sin(nvec_np * math.pi * d_all[:, None] / cutoff) / d_all[
+        :, None
+    ]
+    cut_all = np.where(
+        d_all < cutoff, 0.5 * (np.cos(math.pi * d_all / cutoff) + 1.0), 0.0
+    )
+    rbf_all = (rbf_all * cut_all[:, None]).astype(np.float32)
+    ctx = {"edge_rbf": jnp.asarray(rbf_all), "edge_vec": jnp.asarray(diff_all)}
+    equiv = jnp.zeros((N, 3, ns), jnp.float32)
+    conv = PNAEqConv(ns, ns, deg_hist=deg_hist, num_radial=nr)
+    variables = conv.init(jax.random.PRNGKey(10), inv, equiv, batch, ctx)
+    out_s, out_v = conv.apply(variables, inv, equiv, batch, ctx)
+
+    p = variables["params"]
+    pm = p["message"]
+    em = np.asarray(batch.edge_mask)
+    s, r = sa[em], ra[em]
+    x_t = torch.from_numpy(np.asarray(inv))
+    v_t = torch.zeros(N, 3, ns)
+    rbf = torch.from_numpy(rbf_all[em])
+    diff = torch.from_numpy(diff_all[em])
+
+    rbf_emb = _dense_to_linear(pm["rbf_emb"], torch.nn.Linear(nr, ns))
+    rbf_attr = torch.tanh(rbf_emb(rbf))
+    pre = _dense_to_linear(pm["pre_nn"], torch.nn.Linear(3 * ns, ns))
+    h = pre(torch.cat([x_t[s], x_t[r], rbf_attr], dim=1))
+    sm0 = _dense_to_linear(pm["smlp_0"], torch.nn.Linear(ns, ns))
+    sm1 = _dense_to_linear(pm["smlp_1"], torch.nn.Linear(ns, ns))
+    sm2 = _dense_to_linear(pm["smlp_2"], torch.nn.Linear(ns, 3 * ns))
+    h = sm2(torch.nn.functional.silu(sm1(torch.tanh(sm0(h)))))
+    rbf_lin = _dense_to_linear(
+        pm["rbf_lin"], torch.nn.Linear(nr, 3 * ns, bias=False)
+    )
+    h = h * rbf_lin(rbf)
+    gate_v, gate_e, msg_s = torch.split(h, ns, dim=1)
+    msg_v = v_t[r] * gate_v[:, None, :] + gate_e[:, None, :] * diff[:, :, None]
+
+    st = torch.from_numpy(s.astype(np.int64))
+    cnt = torch.zeros(N).index_add_(0, st, torch.ones(len(s)))
+    ssum = torch.zeros(N, ns).index_add_(0, st, msg_s)
+    mean = ssum / cnt.clamp(min=1.0)[:, None]
+    mean2 = torch.zeros(N, ns).index_add_(0, st, msg_s * msg_s) / cnt.clamp(
+        min=1.0
+    )[:, None]
+    std = torch.sqrt(torch.relu(mean2 - mean * mean) + 1e-5)
+    mx = torch.full((N, ns), -torch.inf).index_reduce_(
+        0, st, msg_s, "amax", include_self=False
+    )
+    mn = torch.full((N, ns), torch.inf).index_reduce_(
+        0, st, msg_s, "amin", include_self=False
+    )
+    has = (cnt > 0)[:, None]
+    mx = torch.where(has, mx, torch.zeros(())).float()
+    mn = torch.where(has, mn, torch.zeros(())).float()
+    agg = torch.cat([mean, mn, mx, std], dim=1)
+    hist = np.asarray(deg_hist, np.float64)
+    dd = np.arange(len(deg_hist), dtype=np.float64)
+    avg_lin = (dd * hist).sum() / hist.sum()
+    avg_log = (np.log(dd + 1.0) * hist).sum() / hist.sum()
+    dcl = cnt.clamp(min=1.0)[:, None]
+    logd = torch.log(dcl + 1.0)
+    scaled = torch.cat(
+        [agg, agg * (logd / avg_log), agg * (avg_log / logd),
+         agg * (dcl / avg_lin), agg * (avg_lin / dcl)],
+        dim=1,
+    )
+    post = _dense_to_linear(
+        pm["post_nn"], torch.nn.Linear(ns + 20 * ns, ns)
+    )
+    s_feat = x_t + post(torch.cat([x_t, scaled], dim=1))
+    v_feat = v_t + torch.zeros(N, 3, ns).index_add_(0, st, msg_v)
+
+    pu = p["update"]
+    U = _dense_to_linear(pu["update_U"], torch.nn.Linear(ns, ns))
+    V = _dense_to_linear(pu["update_V"], torch.nn.Linear(ns, ns))
+    Uv, Vv = U(v_feat), V(v_feat)
+    Vn = torch.sqrt((Vv * Vv).sum(1) + 1e-24)
+    um0 = _dense_to_linear(pu["update_mlp_0"], torch.nn.Linear(2 * ns, ns))
+    um1 = _dense_to_linear(pu["update_mlp_1"], torch.nn.Linear(ns, ns * 3))
+    hh = um1(torch.nn.functional.silu(um0(torch.cat([Vn, s_feat], dim=1))))
+    inner = (Uv * Vv).sum(1)
+    a_vv, a_sv, a_ss = torch.split(hh, ns, dim=1)
+    s_feat = s_feat + a_sv * inner + a_ss
+    v_feat = v_feat + a_vv[:, None, :] * Uv
+
+    ne0 = _dense_to_linear(p["node_embed_0"], torch.nn.Linear(ns, ns))
+    ne1 = _dense_to_linear(p["node_embed_1"], torch.nn.Linear(ns, ns))
+    want_s = ne1(torch.tanh(ne0(s_feat)))
+    ve = _dense_to_linear(p["vec_embed"], torch.nn.Linear(ns, ns))
+    want_v = ve(v_feat)
+
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_s)[nm], want_s.detach().numpy()[nm],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_v)[nm], want_v.detach().numpy()[nm],
         rtol=1e-4, atol=1e-5,
     )
 
