@@ -66,7 +66,9 @@ class GraphStoreWriter:
         }
         for name, axis in _FIELDS:
             arrays = [getattr(s, name) for s in self.samples]
-            if any(a is None for a in arrays):
+            # empty split shards are legal (tiny datasets): write a header
+            # with no variables; readers yield zero samples
+            if not arrays or any(a is None for a in arrays):
                 continue
             arrays = [np.asarray(a) for a in arrays]
             arrays = [

@@ -59,6 +59,28 @@ def _load_dataset(config: Dict[str, Any]):
             list(SimplePickleDataset(base, "valset")),
             list(SimplePickleDataset(base, "testset")),
         )
+    if fmt == "adios":
+        # arraystore — the ADIOS2 (.bp) equivalent: one store root with
+        # trainset/valset/testset groups (ref: load_data.py:206-330 +
+        # AdiosDataset(fname, "trainset", ...) usage in examples). Set
+        # HYDRAGNN_USE_ddstore=1 to shard each split across processes with
+        # any-rank gets (ref: adiosdataset.py:645-689 ddstore mode).
+        from hydragnn_tpu.data.arraystore import GraphArrayStore
+
+        base = list(ds_cfg["path"].values())[0]
+        preload = bool(ds_cfg.get("preload", False))
+        splits = [
+            GraphArrayStore(os.path.join(base, split), preload=preload)
+            for split in ("trainset", "valset", "testset")
+        ]
+        if os.getenv("HYDRAGNN_USE_ddstore", "0") == "1":
+            from hydragnn_tpu.data.distdataset import DistDataset
+
+            splits = [
+                DistDataset(s, label=lbl)
+                for s, lbl in zip(splits, ("trainset", "valset", "testset"))
+            ]
+        return tuple(splits)
     raise ValueError(f"Unknown dataset format: {fmt}")
 
 
