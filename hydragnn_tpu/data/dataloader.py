@@ -70,12 +70,18 @@ class GraphLoader:
         edge_multiple: int = 128,
         node_slot: Optional[int] = None,
         dense_adjacency: bool = False,
+        num_samples: Optional[int] = None,
     ):
         self.dataset = list(dataset)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self._epoch = 0
+        # oversampling RandomSampler option (ref: load_data.py:256-274):
+        # draw num_samples indices per epoch instead of one full pass —
+        # > len(dataset) cycles fresh permutations (sampling smaller
+        # datasets more often in multi-dataset mixes)
+        self.num_samples = num_samples
         if dense_adjacency and node_slot is None:
             # smallest 8-multiple slot that fits the largest graph
             worst = max((s.num_nodes for s in self.dataset), default=1)
@@ -93,18 +99,26 @@ class GraphLoader:
             worst_n, worst_e, batch_size, node_multiple, edge_multiple
         )
 
-    def __len__(self) -> int:
-        return math.ceil(len(self.dataset) / self.batch_size)
-
     def set_epoch(self, epoch: int) -> None:
         """ref: DistributedSampler.set_epoch (train_validate_test.py:158-160)."""
         self._epoch = epoch
 
+    def __len__(self) -> int:
+        if self.num_samples is not None:
+            return math.ceil(self.num_samples / self.batch_size)
+        return math.ceil(len(self.dataset) / self.batch_size)
+
     def __iter__(self) -> Iterator[GraphBatch]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
-            rng.shuffle(order)
+        rng = np.random.RandomState(self.seed + self._epoch)
+        if self.num_samples is not None:
+            reps = -(-self.num_samples // max(len(self.dataset), 1))
+            order = np.concatenate(
+                [rng.permutation(len(self.dataset)) for _ in range(reps)]
+            )[: self.num_samples]
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(order)
         for i in range(0, len(order), self.batch_size):
             chunk = [self.dataset[j] for j in order[i : i + self.batch_size]]
             yield collate(
@@ -168,13 +182,20 @@ def create_dataloaders(
     testset: Sequence[GraphSample],
     batch_size: int,
     prefetch: bool = True,
+    oversampling: bool = False,
+    num_samples: Optional[Tuple[int, int, int]] = None,
     **kwargs,
 ) -> Tuple[GraphLoader, GraphLoader, GraphLoader]:
-    """ref: preprocess/load_data.py:225-326 (train shuffles, val/test don't).
+    """ref: preprocess/load_data.py:225-326 (train shuffles, val/test don't;
+    ``oversampling`` + ``num_samples=(train, val, test)`` draws that many
+    random samples per epoch instead of one full pass, ref :256-274).
 
     All three loaders share the worst-case capacities so train/eval steps
     compile once each.
     """
+    if oversampling:
+        assert num_samples is not None, "oversampling requires num_samples"
+    ns = num_samples if oversampling else (None, None, None)
     all_samples = list(trainset) + list(valset) + list(testset)
     probe = GraphLoader(all_samples, batch_size)
     common = dict(
@@ -199,9 +220,12 @@ def create_dataloaders(
     if common["dense_adjacency"] and common["node_slot"] is None:
         worst = max((s.num_nodes for s in all_samples), default=1)
         common["node_slot"] = -(-worst // 8) * 8
-    train_loader = GraphLoader(trainset, batch_size, shuffle=True, **common, **kwargs)
-    val_loader = GraphLoader(valset, batch_size, **common, **kwargs)
-    test_loader = GraphLoader(testset, batch_size, **common, **kwargs)
+    train_loader = GraphLoader(trainset, batch_size, shuffle=True,
+                               num_samples=ns[0], **common, **kwargs)
+    val_loader = GraphLoader(valset, batch_size, num_samples=ns[1],
+                             **common, **kwargs)
+    test_loader = GraphLoader(testset, batch_size, num_samples=ns[2],
+                              **common, **kwargs)
     for ld in (train_loader, val_loader, test_loader):
         ld.n_node_pad = probe.n_node_pad
         ld.n_edge_pad = probe.n_edge_pad
