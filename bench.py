@@ -58,6 +58,71 @@ def hbm_bandwidth_bytes(device) -> float:
     return 819e9  # default to v5e
 
 
+MEASURED_BW = 347e9  # streaming ceiling of the tunneled v5e (fetch-
+# terminated elementwise probe; bench/results/device_calibration_r2.md)
+
+
+def measure_giant() -> dict:
+    """Giant single-graph SpMM: 131k-node / 1.05M-edge RCM-ordered 2D Moore
+    lattice through the BCSR banded-matmul kernel (ops/bcsr.py, x_passes=2
+    ~1e-5 relative; fetch-terminated timing)."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "bench"))
+    from giant_graph_spmm import lattice_graph
+
+    from hydragnn_tpu.data.ordering import rcm_order
+    from hydragnn_tpu.ops.bcsr import build_bcsr, bcsr_spmm
+
+    ei, n = lattice_graph((362, 362), "moore")
+    perm = rcm_order(ei, n)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
+    ei = inv[ei]
+    order = np.argsort(ei[1])
+    send, recv = ei[0][order], ei[1][order]
+    e = send.shape[0]
+    bc = build_bcsr(send, recv, None, n)
+    x = jnp.asarray(np.random.RandomState(0).randn(n, 128).astype(np.float32))
+    iters = 30
+
+    @jax.jit
+    def loop(v, b):
+        def body(v, _):
+            out = bcsr_spmm(v, b, 2)
+            return (
+                v * (np.float32(1.0) + out[0, 0] * np.float32(1e-38)),
+                out[0, 0],
+            )
+
+        return jax.lax.scan(body, v, None, length=iters)
+
+    r = loop(x, bc)
+    float(np.asarray(r[1])[-1])  # warm + flush (completion barrier)
+    dt = float("inf")
+    for t in range(3):
+        arg = x * np.float32(1.0 + (t + 1) * 1e-7)
+        jax.block_until_ready(arg)
+        t0 = time.perf_counter()
+        r = loop(arg, bc)
+        float(np.asarray(r[1])[-1])
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+    bw = hbm_bandwidth_bytes(jax.devices()[0])
+    roof = e * 128 * 4 + n * 128 * 4 + e * 8
+    return {
+        "giant_graph_fraction_vs_spec": round(roof / bw / dt, 4),
+        "giant_graph_fraction_vs_measured_bw": round(
+            roof / MEASURED_BW / dt, 4
+        ),
+        "giant_graph_ms": round(dt * 1e3, 3),
+        "giant_graph_medges_per_s": round(e / dt / 1e6, 1),
+    }
+
+
 def measure(path: str) -> dict:
     import numpy as np
     import jax
@@ -139,17 +204,17 @@ def measure(path: str) -> dict:
         x, probe = jax.lax.scan(body, x, None, length=iters)
         return x, probe
 
-    spmm_loop(xd)[0].block_until_ready()
-    # best of 3 trials with distinct args: the first post-compile execution
-    # on tunneled runtimes runs ~4x slow (kernel/program residency warm-up),
-    # and distinct args defeat remote result caching
+    r = spmm_loop(xd)
+    float(np.asarray(r[1])[-1])  # warm + flush: block_until_ready through
+    # the tunnel is NOT a completion barrier — only a host FETCH is
+    # (bench/results/device_calibration_r2.md methodology)
     dt = float("inf")
     for trial in range(3):
         arg = xd * np.float32(1.0000001 + trial * 1e-7)
         jax.block_until_ready(arg)
         t0 = time.perf_counter()
         xf, probe = spmm_loop(arg)
-        jax.block_until_ready((xf, probe))
+        float(np.asarray(probe)[-1])
         dt = min(dt, (time.perf_counter() - t0) / iters)
 
     edges_per_s = E / dt
@@ -160,35 +225,72 @@ def measure(path: str) -> dict:
         "value": round(float(fraction), 4),
         "unit": f"fraction_of_scatter_SOL({edges_per_s:.3e}_edges_per_s,{path})",
         "vs_baseline": round(float(fraction), 4),
+        "batched_fraction_vs_measured_bw": round(
+            (bytes_moved / MEASURED_BW) / dt, 4
+        ),
+        "batched_ms": round(dt * 1e3, 3),
     }
+
+
+def _run_json(cmd, timeout):
+    """Run a subprocess, return its last JSON stdout line (or None)."""
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(out.stdout.splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    return None
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] in ("--dense", "--pallas", "--xla"):
         print(json.dumps(measure(sys.argv[1][2:])))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--giant":
+        print(json.dumps(measure_giant()))
+        return
     # fastest eligible path first, each in a time-boxed subprocess (remote
     # Mosaic compiles can be slow on tunneled TPU runtimes)
     here = os.path.abspath(__file__)
+    result = None
     for args, timeout in (
         (["--dense"], 1200), (["--pallas"], 1500), (["--xla"], 1500)
     ):
-        try:
-            out = subprocess.run(
-                [sys.executable, here] + args,
-                capture_output=True, text=True, timeout=timeout,
-                cwd=os.path.dirname(here),
-            )
-            for line in out.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    return
-        except subprocess.TimeoutExpired:
-            continue
-    print(json.dumps({
-        "metric": "spmm_aggregation_fraction_of_hbm_sol",
-        "value": 0.0, "unit": "bench_failed", "vs_baseline": 0.0,
-    }))
+        result = _run_json([sys.executable, here] + args, timeout)
+        if result is not None:
+            break
+    if result is None:
+        result = {
+            "metric": "spmm_aggregation_fraction_of_hbm_sol",
+            "value": 0.0, "unit": "bench_failed", "vs_baseline": 0.0,
+        }
+    # giant single-graph BCSR number alongside the batched one
+    giant = _run_json([sys.executable, here, "--giant"], 900)
+    if giant:
+        result.update(giant)
+    # GFM-shape train-step MFU (EGNN h866 L4, bf16 — the SC25 config)
+    ts = _run_json(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(here), "bench", "train_step.py"),
+            "--json", "--hidden", "866", "--bf16", "--steps", "8",
+            "--trials", "2",
+        ],
+        900,
+    )
+    if ts:
+        result["train_step_ms"] = ts.get("ms_per_step")
+        result["train_step_mfu"] = ts.get("mfu_vs_spec_peak")
+        result["train_step_mfu_vs_measured_peak"] = ts.get(
+            "mfu_vs_measured_peak"
+        )
+        result["train_step_shape"] = ts.get("shape")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,8 @@ def main():
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dense_adj", action="store_true")
+    p.add_argument("--json", action="store_true",
+                   help="print one JSON result line (for bench.py)")
     args = p.parse_args()
 
     import jax
@@ -127,13 +129,55 @@ def main():
         if trial > 0:
             best = min(best, dt)
 
+    # MFU from XLA's own cost analysis of the compiled epoch program
+    # (fwd + bwd + optimizer, all S steps) — the honest numerator for
+    # "model FLOPs utilization" (VERDICT weak #8: ms/step alone cannot
+    # answer 'actually fast?'). Denominators: v5e spec peak (197 TF bf16)
+    # and this device's MEASURED large-matmul peak (115 TF bf16,
+    # bench/results/device_calibration_r2.md).
+    flops_step = mfu_spec = mfu_meas = None
+    try:
+        rngc = jax.random.fold_in(key, 12345)
+        ca = epoch.lower(state, stacked, rngc).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_step = float(ca["flops"]) / args.steps
+        mfu_spec = flops_step / best / 197e12
+        mfu_meas = flops_step / best / 115e12
+    except Exception as e:  # cost analysis unavailable on some runtimes
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     l0, l1 = float(np.asarray(losses)[0]), float(np.asarray(losses)[-1])
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "ms_per_step": round(best * 1e3, 3),
+            "medges_per_s": round(E / best / 1e6, 2),
+            "flops_per_step": flops_step,
+            "mfu_vs_spec_peak": (
+                round(mfu_spec, 4) if mfu_spec is not None else None
+            ),
+            "mfu_vs_measured_peak": (
+                round(mfu_meas, 4) if mfu_meas is not None else None
+            ),
+            "shape": f"{args.mpnn_type} h{args.hidden} L{args.layers} "
+                     f"B={args.graphs}x{args.nodes} E={E} "
+                     f"{'bf16' if args.bf16 else 'fp32'}",
+        }))
+        return
+    mfu_str = (
+        f"  MFU {mfu_spec*100:.1f}% of spec peak / {mfu_meas*100:.1f}% of "
+        f"measured peak ({flops_step/1e9:.1f} GF/step)"
+        if mfu_spec is not None else ""
+    )
     print(
         f"\n{args.mpnn_type} h{args.hidden} L{args.layers} "
         f"B={args.graphs}x{args.nodes} E={E} params={n_params/1e6:.1f}M "
         f"{'bf16' if args.bf16 else 'fp32'}:\n"
         f"  {best*1e3:.1f} ms/step  {E/best/1e6:.2f} Medges/s  "
-        f"losses[0]={l0:.4f} -> losses[-1]={l1:.4f} (must evolve)",
+        f"losses[0]={l0:.4f} -> losses[-1]={l1:.4f} (must evolve)"
+        f"{mfu_str}",
         flush=True,
     )
 

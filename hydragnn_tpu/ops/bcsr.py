@@ -53,7 +53,7 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 512  # output rows per tile (v5e traffic sweet spot, see module doc)
+BLOCK = 512  # output rows per tile (v5e sweet spot, bench/giant_graph r2)
 CHUNK = 128  # sender columns per tile
 X_PASSES = 3  # bf16 mantissa terms for fp32 x (3 = exact)
 F_TILE_MAX = 512  # widest feature tile per grid step (VMEM bound)
@@ -63,15 +63,32 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+RING = 32  # x-chunk ring slots in VMEM (ring path; covers RING*C sender rows)
+
+
 @struct.dataclass
 class BCSRDir:
-    """One direction's ragged tile list."""
+    """One direction's ragged tile list.
 
-    a: jnp.ndarray  # [T, B, C] int8 edge multiplicities
+    ``a`` is either dense int8 [T, B, C] (multiplicities) or — when every
+    multiplicity is 1 (``packed``) — bit-planes [T, B//8, C]: byte row i,
+    bit k holds dense row k*(B//8)+i, so the in-kernel unpack
+    (concatenating the 8 bit planes along sublanes) reproduces dense rows
+    in natural order with no permutation.
+
+    ``dma_flag`` drives the x-chunk ring cache: 0 = chunk already resident
+    in its ring slot (chunk % RING), 1 = miss, prefetchable one tile ahead,
+    2 = miss whose prefetch would clobber the slot the previous tile is
+    still reading (DMA'd synchronously instead)."""
+
+    a: jnp.ndarray  # [T, B, C] int8 or [T, B//8, C] bit-planes
     blk_of: jnp.ndarray  # [T] int32 destination row block per tile (sorted)
     chunk_of: jnp.ndarray  # [T] int32 sender chunk per tile
     row_ptr: jnp.ndarray  # [NB+1] int32 tile offsets per row block
+    dma_flag: jnp.ndarray  # [T] int32 ring-cache miss flags (see above)
     num_blocks: int = struct.field(pytree_node=False)  # static padded rows/B
+    block: int = struct.field(pytree_node=False)  # B (dense tile rows)
+    packed: bool = struct.field(pytree_node=False)  # a is bit-planes
 
 
 @struct.dataclass
@@ -85,7 +102,9 @@ class BCSR:
     bwd: BCSRDir
 
 
-def _build_one_direction(rows, cols, num_nodes, block, chunk) -> BCSRDir:
+def _build_one_direction(
+    rows, cols, num_nodes, block, chunk, pack=True
+) -> BCSRDir:
     """Flat ragged [B, C] tiles, sorted by row block; every row block gets
     at least one tile (empty blocks get a zero tile so the kernel always
     writes their output rows)."""
@@ -123,16 +142,49 @@ def _build_one_direction(rows, cols, num_nodes, block, chunk) -> BCSRDir:
     mx = int(cnt.max()) if cnt.size else 0
     if mx > 127:
         raise ValueError(f"edge multiplicity {mx} exceeds int8 BCSR tiles")
-    a = np.zeros(t * block * chunk, np.int8)
-    a[upos] = cnt.astype(np.int8)
-    a = a.reshape(t, block, chunk)
+
+    packed = pack and mx <= 1 and block % 8 == 0
+    if packed:
+        # 1-bit planes: bit k of byte row i <- dense row k*(B//8)+i, so the
+        # kernel's 8-plane sublane concat restores natural row order
+        sub = block // 8
+        a = np.zeros((t, sub, chunk), np.uint8)
+        ti = upos // (block * chunk)
+        rr = (upos // chunk) % block
+        cc = upos % chunk
+        np.bitwise_or.at(
+            a, (ti, rr % sub, cc), (1 << (rr // sub)).astype(np.uint8)
+        )
+        a = a.view(np.int8)
+    else:
+        a = np.zeros(t * block * chunk, np.int8)
+        a[upos] = cnt.astype(np.int8)
+        a = a.reshape(t, block, chunk)
+
     row_ptr = np.searchsorted(all_rb, np.arange(nb + 1)).astype(np.int32)
+
+    # x-chunk ring-cache miss flags (host simulation of the kernel's ring)
+    flags = np.zeros(t, np.int32)
+    owner = np.full(RING, -1, np.int64)
+    for i in range(t):
+        c = int(all_cb[i])
+        sl = c % RING
+        if owner[sl] != c:
+            flags[i] = 1
+            owner[sl] = c
+            # prefetch at tile i-1 would clobber the slot tile i-1 reads
+            if i > 0 and all_cb[i - 1] % RING == sl and all_cb[i - 1] != c:
+                flags[i] = 2
+            # first tile of a block is DMA'd at block entry, never early
     return BCSRDir(
         a=jnp.asarray(a),
         blk_of=jnp.asarray(all_rb.astype(np.int32)),
         chunk_of=jnp.asarray(all_cb.astype(np.int32)),
         row_ptr=jnp.asarray(row_ptr),
+        dma_flag=jnp.asarray(flags),
         num_blocks=nb,
+        block=block,
+        packed=packed,
     )
 
 
@@ -143,6 +195,7 @@ def build_bcsr(
     num_nodes: int,
     block: int = BLOCK,
     chunk: int = CHUNK,
+    pack: bool = True,
 ) -> Optional[BCSR]:
     """Host-side tile build (collate time, off the device critical path).
 
@@ -156,8 +209,8 @@ def build_bcsr(
     if s.size == 0:
         return None
     try:
-        fwd = _build_one_direction(r, s, num_nodes, block, chunk)
-        bwd = _build_one_direction(s, r, num_nodes, block, chunk)
+        fwd = _build_one_direction(r, s, num_nodes, block, chunk, pack)
+        bwd = _build_one_direction(s, r, num_nodes, block, chunk, pack)
     except ValueError:
         return None
     # pay-off cap: the tiles must move fewer bytes than the gather+scatter
@@ -169,6 +222,122 @@ def build_bcsr(
     if worst > max(s.size * 512, 8 << 20):
         return None
     return BCSR(fwd=fwd, bwd=bwd)
+
+
+def _unpack_a(a_raw, packed):
+    """int8 tile -> bf16 dense [B, C]; packed tiles expand 8 bit planes
+    along sublanes (host packed them so plane order = natural row order)."""
+    if not packed:
+        return a_raw.astype(jnp.bfloat16)
+    au = a_raw.astype(jnp.int32) & 0xFF
+    planes = [((au >> k) & 1) for k in range(8)]
+    return jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
+
+
+def _x_terms(xw, x_passes):
+    if xw.dtype == jnp.float32 and x_passes > 1:
+        terms = []
+        rem = xw
+        for _ in range(x_passes):
+            tt = rem.astype(jnp.bfloat16)
+            rem = rem - tt.astype(jnp.float32)
+            terms.append(tt)
+        return terms
+    return [xw.astype(jnp.bfloat16)]
+
+
+def _bcsr_ring_kernel(
+    row_ptr_ref,  # scalar prefetch: [NB+1] tile offsets per row block
+    chunk_ref,  # scalar prefetch: [T] sender chunk per tile
+    flag_ref,  # scalar prefetch: [T] ring miss flags (0/1/2)
+    a_ref,  # [T, B or B//8, C] int8 (HBM)
+    x_ref,  # [N_pad, F] float (HBM)
+    o_ref,  # [B, ft] (VMEM)
+    acc_ref,  # [B, ft] f32 scratch
+    a_scratch,  # [NBUF, B or B//8, C] int8
+    x_ring,  # [RING, C, ft] — persistent across grid steps
+    a_sems,  # DMA sems [NBUF]
+    x_sems,  # DMA sems [RING]
+    *,
+    x_passes: int,
+    nbuf: int,
+    packed: bool,
+    n_t: int,
+):
+    """Ring-cached variant: x chunks live in a VMEM ring (slot = chunk %
+    RING) persisting across row blocks, so each chunk is DMA'd ~once per
+    layer instead of once per referencing tile. Misses are host-precomputed
+    (dma_flag): flag 1 prefetches one tile ahead, flag 2 DMAs synchronously
+    (its prefetch would clobber the slot the previous tile still reads)."""
+    i = pl.program_id(0)
+    t0 = row_ptr_ref[i]
+    t1 = row_ptr_ref[i + 1]
+    c = x_ring.shape[1]
+
+    def a_dma(slot, t):
+        return pltpu.make_async_copy(
+            a_ref.at[t], a_scratch.at[slot], a_sems.at[slot]
+        )
+
+    def x_dma(t):
+        sl = jax.lax.rem(chunk_ref[t], RING)
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(chunk_ref[t] * c, c), :],
+            x_ring.at[sl],
+            x_sems.at[sl],
+        )
+
+    for k in range(nbuf - 1):
+        @pl.when(t0 + k < t1)
+        def _(k=k):
+            a_dma(k, t0 + k).start()
+
+    @pl.when(flag_ref[t0] >= 1)
+    def _():
+        x_dma(t0).start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t0, nbuf)
+        nxt = jax.lax.rem(t - t0 + nbuf - 1, nbuf)
+
+        @pl.when(t + nbuf - 1 < t1)
+        def _():
+            a_dma(nxt, t + nbuf - 1).start()
+
+        # clamp: the predicate's flag read is evaluated eagerly and t+1
+        # runs off the array on the last tile of the last block
+        nxt_flag = flag_ref[jnp.minimum(t + 1, n_t - 1)]
+
+        @pl.when(jnp.logical_and(t + 1 < t1, nxt_flag == 1))
+        def _():
+            x_dma(t + 1).start()
+
+        @pl.when(jnp.logical_and(t > t0, flag_ref[t] == 2))
+        def _():
+            x_dma(t).start()
+
+        a_dma(slot, t).wait()
+        sl = jax.lax.rem(chunk_ref[t], RING)
+
+        @pl.when(flag_ref[t] >= 1)
+        def _():
+            x_dma(t).wait()
+
+        a = _unpack_a(a_scratch[slot], packed)
+        part = acc_ref[...]
+        for term in _x_terms(x_ring[sl], x_passes):
+            part = part + jax.lax.dot_general(
+                a, term,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[:] = part
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+    o_ref[:] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _bcsr_block_kernel(
@@ -185,6 +354,7 @@ def _bcsr_block_kernel(
     x_passes: int,
     ft: int,
     nbuf: int,
+    packed: bool,
 ):
     """One grid step per output row block; the block's tiles stream through
     a manual double-buffered DMA pipeline (one pallas grid step per TILE
@@ -227,19 +397,9 @@ def _bcsr_block_kernel(
         for d in get_dma(slot, t):
             d.wait()
 
-        a = a_scratch[slot].astype(jnp.bfloat16)
-        xw = x_scratch[slot]
-        if xw.dtype == jnp.float32 and x_passes > 1:
-            terms = []
-            rem = xw
-            for _ in range(x_passes):
-                tt = rem.astype(jnp.bfloat16)
-                rem = rem - tt.astype(jnp.float32)
-                terms.append(tt)
-        else:
-            terms = [xw.astype(jnp.bfloat16)]
+        a = _unpack_a(a_scratch[slot], packed)
         part = acc_ref[...]
-        for term in terms:
+        for term in _x_terms(x_scratch[slot], x_passes):
             part = part + jax.lax.dot_general(
                 a, term, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -290,7 +450,9 @@ def _bcsr_kernel(
 
 
 def _common_shapes(d: BCSRDir, x: jnp.ndarray):
-    t, b, c = d.a.shape
+    t = d.a.shape[0]
+    c = d.a.shape[2]
+    b = d.block
     n, f = x.shape
     ncols = _round_up(n, c)
     if ncols != n:
@@ -311,9 +473,45 @@ def bcsr_matmul(
     """out[i*B : +B] = sum_{t in block i} a[t] @ x[chunk_of[t]*C : +C].
 
     One grid step per output row block; its tiles stream through the manual
-    DMA pipeline in the kernel. Returns [NB*B, F]; the caller slices to its
-    node count."""
+    DMA pipeline in the kernel. Single-feature-tile calls (F <= 256) route
+    through the ring-cached kernel (x chunks DMA'd ~once per layer).
+    Returns [NB*B, F]; the caller slices to its node count."""
     x, t, b, c, f, ft, nf = _common_shapes(d, x)
+    if nf == 1 and ft <= 256:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(d.num_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # a tiles
+                pl.BlockSpec(memory_space=pltpu.ANY),  # x
+            ],
+            out_specs=pl.BlockSpec((b, ft), lambda i, rp, ch, fl: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((b, ft), jnp.float32),
+                pltpu.VMEM((nbuf,) + d.a.shape[1:], d.a.dtype),
+                pltpu.VMEM((RING, c, ft), x.dtype),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.SemaphoreType.DMA((RING,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _bcsr_ring_kernel, x_passes=x_passes, nbuf=nbuf,
+                packed=d.packed, n_t=t,
+            ),
+            out_shape=jax.ShapeDtypeStruct((d.num_blocks * b, f), x.dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * t * b * c * f * max(x_passes, 1),
+                bytes_accessed=int(d.a.size) + x.shape[0] * f * 4
+                + d.num_blocks * b * f * 4,
+                transcendentals=0,
+            ),
+        )(d.row_ptr, d.chunk_of, d.dma_flag, d.a, x)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nf, d.num_blocks),
@@ -324,14 +522,15 @@ def bcsr_matmul(
         out_specs=pl.BlockSpec((b, ft), lambda j, i, rp, ch: (i, j)),
         scratch_shapes=[
             pltpu.VMEM((b, ft), jnp.float32),
-            pltpu.VMEM((nbuf, b, c), d.a.dtype),
+            pltpu.VMEM((nbuf,) + d.a.shape[1:], d.a.dtype),
             pltpu.VMEM((nbuf, c, ft), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf, 2)),
         ],
     )
     return pl.pallas_call(
         functools.partial(
-            _bcsr_block_kernel, x_passes=x_passes, ft=ft, nbuf=nbuf
+            _bcsr_block_kernel, x_passes=x_passes, ft=ft, nbuf=nbuf,
+            packed=d.packed,
         ),
         out_shape=jax.ShapeDtypeStruct((d.num_blocks * b, f), x.dtype),
         grid_spec=grid_spec,
@@ -340,7 +539,8 @@ def bcsr_matmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * b * c * f * max(x_passes, 1),
-            bytes_accessed=t * (b * c + c * f * 4) + d.num_blocks * b * f * 4,
+            bytes_accessed=int(d.a.size) * (f // ft)
+            + t * c * f * 4 + d.num_blocks * b * f * 4,
             transcendentals=0,
         ),
     )(d.row_ptr, d.chunk_of, d.a, x)
@@ -353,7 +553,9 @@ def bcsr_matmul_tilegrid(
 ) -> jnp.ndarray:
     """A/B variant: one pallas grid step per TILE with BlockSpec-driven
     pipelining (measured ~750 ns fixed cost per grid step on v5e — the
-    block-pipelined ``bcsr_matmul`` amortizes that over a block's tiles)."""
+    block-pipelined ``bcsr_matmul`` amortizes that over a block's tiles).
+    Dense int8 tiles only (build with pack=False)."""
+    assert not d.packed, "tilegrid variant takes dense tiles (pack=False)"
     x, t, b, c, f, ft, nf = _common_shapes(d, x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

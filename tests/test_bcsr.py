@@ -59,7 +59,7 @@ def test_bcsr_forward_matches_xla():
 def test_bcsr_tilegrid_variant_matches():
     s, r, mask = _banded_graph(seed=2)
     n, f = 2000, 128
-    bc = build_bcsr(s, r, mask, n)
+    bc = build_bcsr(s, r, mask, n, pack=False)
     x = np.random.RandomState(3).randn(n, f).astype(np.float32)
     got = np.asarray(bcsr_matmul_tilegrid(bc.fwd, jnp.asarray(x))[:n])
     want = _xla_ref(x, s, r, mask, n)
