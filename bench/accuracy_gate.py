@@ -34,7 +34,10 @@ THRESHOLDS = {
     "EGNN": (0.20, 0.20),
     "PNAEq": (0.60, 0.60),
     "PAINN": (0.60, 0.70),
-    "MACE": (0.60, 0.70),
+    # tightened from the reference's loose 0.60/0.70 (round-1 measured
+    # 0.024 — the CG-oracle-verified implementation clears a far stricter
+    # bar; VERDICT round-1 item 9)
+    "MACE": (0.15, 0.20),
 }
 
 
