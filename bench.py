@@ -259,7 +259,7 @@ def main():
     here = os.path.abspath(__file__)
     result = None
     for args, timeout in (
-        (["--dense"], 1200), (["--pallas"], 1500), (["--xla"], 1500)
+        (["--dense"], 900), (["--pallas"], 900), (["--xla"], 900)
     ):
         result = _run_json([sys.executable, here] + args, timeout)
         if result is not None:
@@ -269,10 +269,14 @@ def main():
             "metric": "spmm_aggregation_fraction_of_hbm_sol",
             "value": 0.0, "unit": "bench_failed", "vs_baseline": 0.0,
         }
+    # progressive output: the LAST complete JSON line is the answer, so a
+    # driver-side kill between stages still leaves a valid result
+    print(json.dumps(result), flush=True)
     # giant single-graph BCSR number alongside the batched one
-    giant = _run_json([sys.executable, here, "--giant"], 900)
+    giant = _run_json([sys.executable, here, "--giant"], 800)
     if giant:
         result.update(giant)
+        print(json.dumps(result), flush=True)
     # GFM-shape train-step MFU (EGNN h866 L4, bf16 — the SC25 config)
     ts = _run_json(
         [
@@ -281,7 +285,7 @@ def main():
             "--json", "--hidden", "866", "--bf16", "--steps", "8",
             "--trials", "2",
         ],
-        900,
+        800,
     )
     if ts:
         result["train_step_ms"] = ts.get("ms_per_step")
@@ -290,7 +294,7 @@ def main():
             "mfu_vs_measured_peak"
         )
         result["train_step_shape"] = ts.get("shape")
-    print(json.dumps(result))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
