@@ -51,7 +51,9 @@ def pair_energy_forces(zs, pos, cell):
         max_num_neighbors=24, pbc=(True, True, False),
     )
     s, r = ei
-    d = pos[r] - pos[s] - shifts @ cell
+    # radius_graph_pbc returns CARTESIAN shifts with vec = pos[recv] -
+    # pos[send] + shift (see data/neighbors.py:85-103)
+    d = pos[r] - pos[s] + shifts
     dist = np.linalg.norm(d, axis=1)
     eps = np.sqrt(np.array([EPS[z] for z in zs])[s]
                   * np.array([EPS[z] for z in zs])[r])
@@ -112,7 +114,7 @@ def ingest_extxyz(data_dir):
             x=zs.reshape(-1, 1).astype(np.float32),
             pos=pos.astype(np.float32),
             edge_index=ei,
-            edge_shifts=(shifts @ cell).astype(np.float32),
+            edge_shifts=shifts.astype(np.float32),
             energy=np.float32(energy / n),
             forces=(forces / n).astype(np.float32),
         ))
@@ -140,7 +142,7 @@ def build(args):
                 x=zs.reshape(-1, 1).astype(np.float32),
                 pos=pos.astype(np.float32),
                 edge_index=ei,
-                edge_shifts=(shifts @ cell).astype(np.float32),
+                edge_shifts=shifts.astype(np.float32),
                 energy=np.float32(e_tot / n),
                 forces=(forces / n).astype(np.float32),
             ))

@@ -17,6 +17,20 @@ docstrings as ``ref: <file>:<line>`` (paths relative to the HydraGNN repo).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Honor JAX_PLATFORMS even when a site hook (e.g. a PJRT plugin's
+# sitecustomize) has already pinned jax_platforms at interpreter start —
+# subprocess smoke tests and CI set JAX_PLATFORMS=cpu and expect it to win.
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:  # pragma: no cover - config may be frozen post-init
+        pass
+
 from hydragnn_tpu.graph import GraphSample, GraphBatch, collate, pad_sizes
 from hydragnn_tpu.config import load_config, update_config
 from hydragnn_tpu.models.create import create_model, create_model_config

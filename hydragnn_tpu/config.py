@@ -143,6 +143,10 @@ def update_config(
     output_index = list(var.get("output_index", range(len(output_type))))
     if training["compute_grad_energy"]:
         dims_list = list(var["output_dim"])
+    elif "output_dim" in var and len(var["output_dim"]) == len(output_type):
+        # explicit per-head dims (the dftb_uv_spectrum configs set e.g.
+        # output_dim [37500] directly; ref: examples/dftb_uv_spectrum/*.json)
+        dims_list = [int(d) for d in var["output_dim"]]
     else:
         dims_list = []
         ds_cfg = config.get("Dataset", {})

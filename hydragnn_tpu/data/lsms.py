@@ -138,38 +138,11 @@ def load_lsms_dataset(config: Dict[str, Any], path: str) -> List[GraphSample]:
             extract_targets_sample(x, pos, y, edge_index, var, graph_dims, node_dims)
         )
 
-    # rotation normalization (ref: serialized_dataset_loader.py:134-150)
-    if ds_cfg.get("rotational_invariance"):
-        from hydragnn_tpu.data.transforms import normalize_rotation
+    # rotation normalization, edge-length features, LapPE
+    # (ref: serialized_dataset_loader.py:90-189)
+    from hydragnn_tpu.data.transforms import apply_structure_transforms
 
-        samples = [normalize_rotation(s) for s in samples]
-
-    # edge-length features, max-normalized globally
-    # (ref: serialized_dataset_loader.py:157-169)
-    if arch.get("edge_features"):
-        from hydragnn_tpu.data.neighbors import edge_lengths
-        from hydragnn_tpu.data.transforms import add_edge_lengths
-
-        max_len = max(
-            (
-                float(edge_lengths(s.pos, s.edge_index).max())
-                for s in samples
-                if s.num_edges
-            ),
-            default=1.0,
-        )
-        samples = [add_edge_lengths(s, max_length=max_len) for s in samples]
-
-    # Laplacian-eigvec PE + relative edge PE for GPS
-    # (ref: serialized_dataset_loader.py:90-94,183-189)
-    pe_dim = int(arch.get("pe_dim") or 0)
-    if arch.get("global_attn_engine") and pe_dim > 0:
-        from hydragnn_tpu.data.transforms import add_laplacian_eigenvector_pe
-
-        samples = [
-            add_laplacian_eigenvector_pe(s, pe_dim) for s in samples
-        ]
-    return samples
+    return apply_structure_transforms(samples, config)
 
 
 def extract_targets_sample(

@@ -97,31 +97,45 @@ def read_cfg(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
             body_start = i
             break
     assert n is not None, f"no particle count in {path}"
-    zs, fracs = [], []
+    zs, fracs, masses, aux_rows = [], [], [], []
+    # columns after the fractional xyz (+velocities unless .NO_VELOCITY.) are
+    # the ``auxiliary[k]`` per-atom properties (ref: cfgdataset.py reads
+    # c_peratom/fx/fy/fz from ase_object.arrays)
+    vel_cols = 0 if no_velocity else 3
     j = body_start
     cur_z = None
+    cur_mass = None
     while j < len(lines) and len(fracs) < n:
         toks = lines[j].split()
         if len(toks) == 1 and re.match(r"^[\d.]+$", toks[0]):
             # extended CFG: mass line followed by symbol line
+            cur_mass = float(toks[0])
             sym = lines[j + 1].split()[0]
             cur_z = _SYMBOL_Z.get(sym) or int(float(sym))
             j += 2
             continue
         if len(toks) >= 5 and toks[1] in _SYMBOL_Z:
-            # standard CFG row: mass symbol x y z [...]
+            # standard CFG row: mass symbol x y z [vel] [aux...]
             zs.append(_SYMBOL_Z[toks[1]])
+            masses.append(float(toks[0]))
             fracs.append([float(toks[2]), float(toks[3]), float(toks[4])])
+            aux_rows.append([float(t) for t in toks[5 + vel_cols:]])
         else:
             assert cur_z is not None, f"coordinate row before species in {path}"
             zs.append(cur_z)
+            masses.append(cur_mass if cur_mass is not None else 0.0)
             fracs.append([float(toks[0]), float(toks[1]), float(toks[2])])
+            aux_rows.append([float(t) for t in toks[3 + vel_cols:]])
         j += 1
     fracs = np.asarray(fracs)
     pos = fracs @ H
+    n_aux = min((len(r) for r in aux_rows), default=0)
+    aux = np.asarray(
+        [r[:n_aux] for r in aux_rows], np.float32
+    ).reshape(len(aux_rows), n_aux)
     return (
         np.asarray(zs, np.float32),
         pos.astype(np.float32),
         H.astype(np.float32),
-        {},
+        {"masses": np.asarray(masses, np.float32), "aux": aux},
     )

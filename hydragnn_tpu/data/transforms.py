@@ -60,7 +60,14 @@ def normalize_rotation(sample: GraphSample) -> GraphSample:
     pos = sample.pos - sample.pos.mean(0, keepdims=True)
     _, _, vt = np.linalg.svd(pos, full_matrices=False)
     pos = pos @ vt.T
-    return GraphSample(**{**sample.__dict__, "pos": pos.astype(np.float32)})
+    shifts = sample.edge_shifts
+    if shifts is not None:
+        # PBC shift vectors are Cartesian displacements — rotate with pos
+        shifts = (shifts @ vt.T).astype(np.float32)
+    return GraphSample(**{
+        **sample.__dict__, "pos": pos.astype(np.float32),
+        "edge_shifts": shifts,
+    })
 
 
 def add_edge_lengths(
@@ -76,3 +83,33 @@ def add_edge_lengths(
     if sample.edge_attr is not None:
         ea = np.concatenate([sample.edge_attr, ea], axis=1)
     return GraphSample(**{**sample.__dict__, "edge_attr": ea})
+
+
+def apply_structure_transforms(samples, config):
+    """Shared post-graph-build transform tail for every raw-format loader
+    (ref: serialized_dataset_loader.py:90-189 — rotation normalization,
+    max-normalized edge-length features, Laplacian-eigvec PE for GPS).
+    Mutates nothing; returns a new sample list."""
+    ds_cfg = config["Dataset"]
+    arch = config["NeuralNetwork"]["Architecture"]
+
+    if ds_cfg.get("rotational_invariance"):
+        samples = [normalize_rotation(s) for s in samples]
+
+    if arch.get("edge_features"):
+        max_len = max(
+            (
+                float(
+                    edge_lengths(s.pos, s.edge_index, s.edge_shifts).max()
+                )
+                for s in samples
+                if s.num_edges
+            ),
+            default=1.0,
+        )
+        samples = [add_edge_lengths(s, max_length=max_len) for s in samples]
+
+    pe_dim = int(arch.get("pe_dim") or 0)
+    if arch.get("global_attn_engine") and pe_dim > 0:
+        samples = [add_laplacian_eigenvector_pe(s, pe_dim) for s in samples]
+    return samples

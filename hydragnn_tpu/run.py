@@ -81,6 +81,23 @@ def _load_dataset(config: Dict[str, Any]):
                 for s, lbl in zip(splits, ("trainset", "valset", "testset"))
             ]
         return tuple(splits)
+    if fmt in ("CFG", "XYZ"):
+        # raw structure-file pipeline (ref: load_data.py:380-392
+        # transform_raw_data_to_serialized + total_to_train_val_test_pkls)
+        from hydragnn_tpu.data.rawdataset import load_raw_dataset
+
+        paths = ds_cfg["path"]
+        if "total" in paths:
+            total = load_raw_dataset(config, paths["total"])
+            return split_dataset(
+                total,
+                config["NeuralNetwork"]["Training"]["perc_train"],
+                ds_cfg.get("compositional_stratified_splitting", False),
+            )
+        return tuple(
+            load_raw_dataset(config, paths[k])
+            for k in ("train", "validate", "test")
+        )
     raise ValueError(f"Unknown dataset format: {fmt}")
 
 
