@@ -67,8 +67,10 @@ def build_config(name: str, args) -> dict:
     }
 
 
-def main(name: str):
-    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+def main(name: str, subdir: str | None = None):
+    here = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), subdir or name
+    )
     p = argparse.ArgumentParser(description=f"{name} GFM example")
     p.add_argument("--raw", default=os.path.join(here, "raw"),
                    help="raw dataset file/dir (real public download)")

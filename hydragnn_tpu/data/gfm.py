@@ -247,12 +247,149 @@ def read_transition1x(
                             return
 
 
+def iter_extxyz_frames(path: str, limit: Optional[int] = None) -> Iterator[Dict]:
+    """Multi-frame extended-XYZ reader with Properties= column parsing
+    (forces columns included) — the OC22/ODAC23 trajectory dump format
+    (ref: examples/open_catalyst_2022/train.py:49 ``ase.io.read`` over
+    trajectory files). Accepts a file or a directory of ``*.xyz``/
+    ``*.extxyz`` files."""
+    import glob as _glob
+    import re as _re
+
+    if os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "*.xyz"))
+            + _glob.glob(os.path.join(path, "*.extxyz"))
+        )
+    else:
+        files = [path]
+    from hydragnn_tpu.data.raw_loaders import _SYMBOL_Z
+
+    n_out = 0
+    for fp in files:
+        with open(fp) as f:
+            lines = f.readlines()
+        i = 0
+        while i < len(lines):
+            line = lines[i].strip()
+            if not line:
+                i += 1
+                continue
+            nat = int(line.split()[0])
+            comment = lines[i + 1]
+            cell = None
+            m = _re.search(r'Lattice="([^"]+)"', comment)
+            if m:
+                cell = np.array(
+                    [float(x) for x in m.group(1).split()]
+                ).reshape(3, 3)
+            energy = None
+            m = _re.search(r"\benergy=([-\d.eE+]+)", comment)
+            if m:
+                energy = float(m.group(1))
+            pbc = np.array([cell is not None] * 3)
+            m = _re.search(r'pbc="([^"]+)"', comment)
+            if m:
+                pbc = np.array(
+                    [t in ("T", "True", "1") for t in m.group(1).split()]
+                )
+            # Properties=species:S:1:pos:R:3:forces:R:3 -> column layout
+            force_col = None
+            m = _re.search(r"Properties=(\S+)", comment)
+            if m:
+                toks = m.group(1).split(":")
+                col = 0
+                for k in range(0, len(toks), 3):
+                    width = int(toks[k + 2])
+                    if toks[k] == "forces":
+                        force_col = col
+                    col += width
+            numbers, pos, forces = [], [], []
+            for row in lines[i + 2 : i + 2 + nat]:
+                c = row.split()
+                numbers.append(_SYMBOL_Z.get(c[0]) or int(float(c[0])))
+                pos.append([float(v) for v in c[1:4]])
+                if force_col is not None and len(c) >= force_col + 3:
+                    forces.append(
+                        [float(v) for v in c[force_col : force_col + 3]]
+                    )
+            if energy is not None:
+                yield {
+                    "numbers": np.asarray(numbers, np.int64),
+                    "positions": np.asarray(pos, np.float32),
+                    "cell": cell,
+                    "pbc": pbc,
+                    "energy": energy,
+                    "forces": (
+                        np.asarray(forces, np.float32)
+                        if len(forces) == nat else None
+                    ),
+                }
+                n_out += 1
+                if limit is not None and n_out >= limit:
+                    return
+            i += 2 + nat
+
+
+def read_oc22(path: str, limit: Optional[int] = None) -> Iterator[Dict]:
+    """Open Catalyst 2022: extxyz trajectory frames, PBC slabs, TOTAL DFT
+    energy + forces (ref: examples/open_catalyst_2022/train.py:75-160)."""
+    return iter_extxyz_frames(path, limit=limit)
+
+
+def read_odac23(path: str, limit: Optional[int] = None) -> Iterator[Dict]:
+    """Open Direct Air Capture 2023: MOF + CO2/H2O sorbate frames, same
+    trajectory dump format (ref: examples/open_direct_air_capture_2023/
+    download_dataset.sh)."""
+    return iter_extxyz_frames(path, limit=limit)
+
+
+def _iter_asedb(path: str, limit: Optional[int] = None) -> Iterator[Dict]:
+    import glob as _glob
+
+    from hydragnn_tpu.data.asedb import read_ase_sqlite
+
+    if os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "*.db"))
+            + _glob.glob(os.path.join(path, "*.aselmdb"))
+        )
+    else:
+        files = [path]
+    n = 0
+    for fp in files:
+        for rec in read_ase_sqlite(fp):
+            if rec["energy"] is None:
+                continue
+            yield rec
+            n += 1
+            if limit is not None and n >= limit:
+                return
+
+
+def read_omat24(path: str, limit: Optional[int] = None) -> Iterator[Dict]:
+    """Open Materials 2024: ASE-DB shards of rattled/AIMD inorganic
+    crystals, PBC energy+forces (ref: examples/open_materials_2024/
+    omat24.py:96 AseDBDataset)."""
+    return _iter_asedb(path, limit=limit)
+
+
+def read_omol25(path: str, limit: Optional[int] = None) -> Iterator[Dict]:
+    """Open Molecules 2025: ASE-DB shards of molecules/complexes, no PBC
+    (ref: examples/open_molecules_2025/omol25.py AseDBDataset)."""
+    return _iter_asedb(path, limit=limit)
+
+
 READERS = {
     "ani1x": read_ani1x,
     "qm7x": read_qm7x,
     "mptrj": read_mptrj,
     "alexandria": read_alexandria,
     "transition1x": read_transition1x,
+    "oc22": read_oc22,
+    "odac23": read_odac23,
+    "omat24": read_omat24,
+    "omol25": read_omol25,
 }
 
 
@@ -383,6 +520,57 @@ def write_synthetic_raw(name: str, path: str, n_mol: int = 4,
                     g["wB97x_6-31G(d).energy"] = rng.randn(n_conf)
                     g["wB97x_6-31G(d).forces"] = rng.randn(n_conf, nat, 3)
         return fname
+    if name in ("oc22", "odac23"):
+        # multi-frame extended XYZ with Lattice + forces columns
+        fname = os.path.join(path, f"{name}_trajectories.extxyz")
+        sym = {1: "H", 6: "C", 8: "O", 29: "Cu", 30: "Zn"}
+        with open(fname, "w") as f:
+            for i in range(n_mol * n_conf):
+                nat = int(rng.randint(6, 12))
+                numbers, pos, e, forces = mol(nat)
+                numbers = rng.choice([1, 6, 8, 29, 30], nat)
+                a = 8.0 + rng.rand() * 2
+                pos = (pos % a).astype(np.float32)
+                f.write(f"{nat}\n")
+                f.write(
+                    f'Lattice="{a} 0 0 0 {a} 0 0 0 {a}" '
+                    'Properties=species:S:1:pos:R:3:forces:R:3 '
+                    f'energy={e * nat:.6f} pbc="T T T"\n'
+                )
+                for z, p, fo in zip(numbers, pos, forces):
+                    f.write(
+                        f"{sym[int(z)]} "
+                        + " ".join(f"{v:.6f}" for v in p)
+                        + " "
+                        + " ".join(f"{v:.6f}" for v in fo)
+                        + "\n"
+                    )
+        return path
+    if name in ("omat24", "omol25"):
+        from hydragnn_tpu.data.asedb import write_ase_sqlite
+
+        recs = []
+        for i in range(n_mol * n_conf):
+            nat = int(rng.randint(4, 10))
+            numbers, pos, e, forces = mol(nat)
+            rec = {
+                "numbers": numbers,
+                "positions": pos,
+                "energy": e,
+                "forces": forces,
+                "key_value_pairs": {"source": name},
+            }
+            if name == "omat24":
+                a = 6.0 + rng.rand() * 2
+                rec["cell"] = np.eye(3) * a
+                rec["pbc"] = [True, True, True]
+                rec["positions"] = (pos % a).astype(np.float32)
+            recs.append(rec)
+        # two shards, like the real release's sharded aselmdb layout
+        half = len(recs) // 2
+        write_ase_sqlite(os.path.join(path, f"{name}_0000.db"), recs[:half])
+        write_ase_sqlite(os.path.join(path, f"{name}_0001.db"), recs[half:])
+        return path
     raise ValueError(name)
 
 
