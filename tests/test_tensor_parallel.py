@@ -1,0 +1,86 @@
+"""Tensor parallelism: sharded-params train step equals the replicated one
+bitwise-ish, params actually shard, and it composes with wide hidden dims
+(the GFM-scale motivation)."""
+
+import numpy as np
+import jax
+
+from tests.test_graph_parallel import big_batch
+from hydragnn_tpu.models.arch import ArchConfig, BranchConfig
+from hydragnn_tpu.models.create import create_model
+from hydragnn_tpu.parallel.tensor_parallel import (
+    replicate_batch,
+    setup_tp_mesh,
+    shard_state_tp,
+    tp_fraction_sharded,
+)
+from hydragnn_tpu.train.optimizer import select_optimizer
+from hydragnn_tpu.train.trainer import init_state, make_train_step
+
+
+def _setup(hidden=32):
+    batch = big_batch()
+    cfg = ArchConfig(
+        mpnn_type="GIN",
+        input_dim=1,
+        hidden_dim=hidden,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=(BranchConfig("branch-0", 1, hidden, 1, (hidden,)),),
+        node_branches=(),
+        num_conv_layers=2,
+        num_nodes=32,
+    )
+    model = create_model(cfg)
+    # SGD+momentum: update is linear in grads, so cross-layout reduction
+    # noise stays at fp32 epsilon (same choice as test_zero.py)
+    import optax
+
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.sgd(learning_rate, momentum=0.9)
+    )(learning_rate=0.01)
+    state = init_state(model, batch, opt)
+    return model, cfg, opt, state, batch
+
+
+def test_tp_step_matches_replicated():
+    model, cfg, opt, state, batch = _setup()
+    step = make_train_step(model, cfg, opt)
+    ref_state = jax.device_get(state)
+    s_ref, loss_ref, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    mesh = setup_tp_mesh(tp=4, dp=2)
+    tp_state = shard_state_tp(ref_state, mesh)
+    assert tp_fraction_sharded(tp_state, mesh) > 0.5
+    tp_batch = replicate_batch(batch, mesh)
+    step_tp = make_train_step(model, cfg, opt)
+    s_tp, loss_tp, _ = step_tp(tp_state, tp_batch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_tp), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_tp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+    # updated params keep the sharded layout (no silent gather-to-replicated)
+    assert any(
+        hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+        for l in jax.tree_util.tree_leaves(s_tp.params)
+    )
+
+
+def test_tp_pure_model_mesh():
+    """tp == n_devices (no data axis): the capacity configuration for
+    models whose optimizer state exceeds one chip's HBM."""
+    model, cfg, opt, state, batch = _setup(hidden=64)
+    mesh = setup_tp_mesh(tp=8)
+    tp_state = shard_state_tp(jax.device_get(state), mesh)
+    step = make_train_step(model, cfg, opt)
+    s1, loss1, _ = step(tp_state, replicate_batch(batch, mesh),
+                        jax.random.PRNGKey(1))
+    s2, loss2, _ = step(s1, replicate_batch(batch, mesh),
+                        jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert float(loss2) < float(loss1)
