@@ -177,3 +177,62 @@ def test_eam_example_smoke(tmp_path):
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "epoch 0" in out.stdout
+
+
+def test_descriptor_edge_transforms():
+    """Spherical / LocalCartesian / PointPairFeatures edge descriptors
+    (ref: abstractrawdataset.py:115-140)."""
+    import pytest
+
+    from hydragnn_tpu.graph import GraphSample
+    from hydragnn_tpu.data.transforms import (
+        add_local_cartesian_edge_features,
+        add_point_pair_features,
+        add_spherical_edge_features,
+        apply_structure_transforms,
+    )
+
+    rng = np.random.RandomState(1)
+    pos = rng.randn(6, 3).astype(np.float32)
+    ei = np.array([[0, 1, 2, 3, 4, 5], [1, 2, 3, 4, 5, 0]])
+    s = GraphSample(x=np.ones((6, 1), np.float32), pos=pos, edge_index=ei)
+
+    sph = add_spherical_edge_features(s)
+    assert sph.edge_attr.shape == (6, 3)
+    d = np.linalg.norm(pos[ei[1]] - pos[ei[0]], axis=1)
+    np.testing.assert_allclose(sph.edge_attr[:, 0], d, rtol=1e-5)
+    assert (sph.edge_attr[:, 1] >= 0).all()
+    assert (sph.edge_attr[:, 1] <= 2 * np.pi).all()
+    assert (sph.edge_attr[:, 2] >= 0).all()
+    assert (sph.edge_attr[:, 2] <= np.pi).all()
+    # reconstruct the vector from (rho, theta, phi)
+    rho, th, ph = sph.edge_attr.T.astype(np.float64)
+    rec = np.stack([rho * np.sin(ph) * np.cos(th),
+                    rho * np.sin(ph) * np.sin(th),
+                    rho * np.cos(ph)], 1)
+    np.testing.assert_allclose(rec, pos[ei[1]] - pos[ei[0]], atol=1e-5)
+
+    lc = add_local_cartesian_edge_features(s)
+    assert lc.edge_attr.shape == (6, 3)
+    assert (lc.edge_attr >= 0).all() and (lc.edge_attr <= 1).all()
+
+    ppf = add_point_pair_features(s)
+    assert ppf.edge_attr.shape == (6, 4)
+    np.testing.assert_allclose(ppf.edge_attr[:, 0], d, rtol=1e-5)
+    assert (ppf.edge_attr[:, 1:] >= 0).all()
+    assert (ppf.edge_attr[:, 1:] <= np.pi + 1e-6).all()
+
+    cfg = {
+        "Dataset": {"Descriptors": {"SphericalCoordinates": True}},
+        "NeuralNetwork": {"Architecture": {"edge_features": ["lengths"]}},
+    }
+    out = apply_structure_transforms([s], cfg)
+    # descriptor replaces the plain length feature (no duplicate distance)
+    assert out[0].edge_attr.shape == (6, 3)
+
+    with pytest.raises(ValueError):
+        apply_structure_transforms([s], {
+            "Dataset": {"Descriptors": {"SphericalCoordinates": True,
+                                        "PointPairFeatures": True}},
+            "NeuralNetwork": {"Architecture": {}},
+        })
