@@ -46,6 +46,30 @@ def build_batch(n_graphs, n, deg, seed, dense_adj=False):
     return collate(samples)
 
 
+def model_flops_per_step(mpnn_type, H, layers, N, E, bwd_factor=3.0):
+    """Analytic matmul FLOPs for one TRAINING step (fwd x3 ~= fwd + bwd).
+
+    Counts the dense/matmul terms only (aggregation, activations, norms,
+    optimizer excluded — standard MFU practice). Shapes follow the actual
+    flax modules (models/egnn.py, gin.py): 2*M*K*Nout per Dense."""
+    if mpnn_type == "EGNN":
+        # per layer (models/egnn.py EGCL): pre_s/pre_d on nodes, geom on
+        # edges (g~1), edge_mlp_1 on edges, node MLP on nodes
+        per_layer = (
+            2 * N * H * H * 2          # pre_s + pre_d
+            + 2 * E * 1 * H            # geom (radial only)
+            + 2 * E * H * H            # edge_mlp_1
+            + 2 * N * (2 * H) * H      # node_mlp_0 (concat[inv, agg])
+            + 2 * N * H * H            # node_mlp_1
+        )
+    elif mpnn_type == "GIN":
+        per_layer = 2 * N * H * H * 2  # two-layer MLP
+    else:
+        return None
+    fwd = per_layer * layers
+    return fwd * bwd_factor
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mpnn_type", default="EGNN")
@@ -129,21 +153,27 @@ def main():
         if trial > 0:
             best = min(best, dt)
 
-    # MFU from XLA's own cost analysis of the compiled epoch program
-    # (fwd + bwd + optimizer, all S steps) — the honest numerator for
-    # "model FLOPs utilization" (VERDICT weak #8: ms/step alone cannot
-    # answer 'actually fast?'). Denominators: v5e spec peak (197 TF bf16)
-    # and this device's MEASURED large-matmul peak (115 TF bf16,
+    # MFU numerator: ANALYTIC model FLOPs (fwd matmuls x3 for fwd+bwd;
+    # optimizer/elementwise excluded) — the honest numerator for "model
+    # FLOPs utilization" (VERDICT weak #8). XLA's cost_analysis() counts a
+    # lax.scan body ONCE (per trip, not x trip count), which silently
+    # undercounted ~an order of magnitude in round 2's first cut; it is
+    # kept only as an aux cross-check. Denominators: v5e spec peak
+    # (197 TF bf16) and this device's MEASURED large-matmul peak (115 TF,
     # bench/results/device_calibration_r2.md).
-    flops_step = mfu_spec = mfu_meas = None
+    N = args.graphs * args.nodes
+    flops_step = model_flops_per_step(
+        args.mpnn_type, args.hidden, args.layers, N, E
+    )
+    mfu_spec = flops_step / best / 197e12 if flops_step else None
+    mfu_meas = flops_step / best / 115e12 if flops_step else None
+    xla_flops_per_step = None
     try:
         rngc = jax.random.fold_in(key, 12345)
         ca = epoch.lower(state, stacked, rngc).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_step = float(ca["flops"]) / args.steps
-        mfu_spec = flops_step / best / 197e12
-        mfu_meas = flops_step / best / 115e12
+        xla_flops_per_step = float(ca["flops"])  # scan body = one step
     except Exception as e:  # cost analysis unavailable on some runtimes
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
@@ -155,6 +185,7 @@ def main():
             "ms_per_step": round(best * 1e3, 3),
             "medges_per_s": round(E / best / 1e6, 2),
             "flops_per_step": flops_step,
+            "xla_cost_flops_per_step": xla_flops_per_step,
             "mfu_vs_spec_peak": (
                 round(mfu_spec, 4) if mfu_spec is not None else None
             ),
