@@ -56,3 +56,46 @@ def test_hpo_example_runs(monkeypatch, tmp_path):
          "--configs", "30"],
     )
     hpo_search.main()
+
+
+def _run_driver(script_path, args, timeout=600, cwd=None):
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, script_path] + args,
+        capture_output=True, text=True, timeout=timeout, cwd=cwd,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    return out.stdout
+
+
+def test_dftb_example_runs(tmp_path):
+    out = _run_driver(
+        os.path.join(EXAMPLES, "dftb_uv_spectrum", "train.py"),
+        ["--synthetic", "--n_mol", "24", "--num_epoch", "1",
+         "--task", "discrete", "--hidden_dim", "16",
+         "--num_conv_layers", "2", "--data", str(tmp_path / "d")],
+        cwd=str(tmp_path),
+    )
+    assert "test_rmse" in out
+
+
+def test_omat24_example_runs(tmp_path):
+    out = _run_driver(
+        os.path.join(EXAMPLES, "open_materials_2024", "train.py"),
+        ["--synthetic", "--num_epoch", "1", "--hidden_dim", "16",
+         "--num_conv_layers", "2",
+         "--raw", str(tmp_path / "raw"), "--store", str(tmp_path / "st")],
+        cwd=str(tmp_path),
+    )
+    assert "test_rmse" in out
+
+
+def test_multidataset_zero_example_runs(tmp_path):
+    out = _run_driver(
+        os.path.join(EXAMPLES, "multidataset_zero", "train.py"),
+        ["--num_epoch", "1", "--hidden_dim", "16"],
+        cwd=str(tmp_path),
+    )
+    assert "ZeRO-1" in out and "done" in out
