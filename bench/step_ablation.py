@@ -32,6 +32,7 @@ def main():
     p.add_argument("--nodes", type=int, default=64)
     p.add_argument("--deg", type=int, default=16)
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -70,7 +71,7 @@ def main():
     opt = select_optimizer({"Optimizer": {"type": "AdamW",
                                           "learning_rate": 1e-3}})
     state = init_state(model, batch, opt)
-    loss_fn = make_loss_fn(model, cfg, False, False)
+    loss_fn = make_loss_fn(model, cfg, False, args.bf16)
     key = jax.random.PRNGKey(0)
     h = jnp.zeros((batch.num_nodes, args.hidden), jnp.float32)
 
