@@ -232,6 +232,15 @@ def update_config(
     arch.setdefault("activation_function", "relu")
     arch.setdefault("SyncBatchNorm", False)
     training.setdefault("conv_checkpointing", False)
+    if training["conv_checkpointing"] == "auto":
+        # GFM-scale preset: rematerialize conv layers with the "dots"
+        # policy (matmul outputs stay resident, elementwise recomputed)
+        # once activations get HBM-expensive — wide hidden dims are where
+        # remat pays for itself (bench/results/train_step_r2.md)
+        wide = int(arch.get("hidden_dim", 0) or 0) >= 512
+        training["conv_checkpointing"] = wide
+        if wide:
+            training.setdefault("remat_policy", "dots")
     training.setdefault("loss_function_type", "mse")
     training.setdefault("Optimizer", {"type": "AdamW", "learning_rate": 1e-3})
     var.setdefault("denormalize_output", False)
