@@ -132,8 +132,13 @@ def synthesize(raw_dir, n_configs, seed=7):
         # bulk modulus surrogate: Vegard-like mix + noise (GPa)
         x_nb = float((zs == NB).mean())
         bulk = 180.0 * (1 - x_nb) + 170.0 * x_nb + rng.randn() * 2.0
+        # real OLCF .bulk sidecars carry three tokens with the bulk
+        # modulus at token 2 (ref config NiNb_EAM_bulk.json graph_features
+        # column_index [2]; cfg_raw_dataset_loader.py:96-104 indexes the
+        # first line's tokens at that column) — emit the same layout
+        e_total = float(node_e.sum())
         with open(stem + ".bulk", "w") as f:
-            f.write(f"{bulk:.4f}\n")
+            f.write(f"{e_total:.6f} {x_nb:.4f} {bulk:.4f}\n")
     print(f"wrote {n_configs} CFG+bulk configs -> {raw_dir}")
 
 

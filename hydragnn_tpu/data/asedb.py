@@ -60,9 +60,19 @@ def read_ase_sqlite(
         )
         for (numbers, positions, cell, pbc, energy, forces, kvp, data,
              natoms) in cur:
-            n = int(natoms) if natoms else (
-                len(numbers) // 4 if numbers else 0
-            )
+            if natoms:
+                n = int(natoms)
+            elif positions:
+                # positions are always float64 xyz triplets: 24 bytes/atom
+                n = len(positions) // 24
+            else:
+                # ASE on 64-bit Linux stores numbers as int64; older dumps
+                # (and our writer) use int32 — disambiguate by blob size
+                n = (
+                    0 if not numbers
+                    else len(numbers) // 8 if len(numbers) % 8 == 0
+                    else len(numbers) // 4
+                )
             rec: Dict[str, Any] = {
                 "numbers": _ints(numbers, n),
                 "positions": _floats(positions, (n, 3)),

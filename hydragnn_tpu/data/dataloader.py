@@ -10,6 +10,7 @@ per step function).
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -139,6 +140,11 @@ class PrefetchLoader:
     """
 
     def __init__(self, loader, depth: int = 2):
+        # HYDRAGNN_NUM_WORKERS sizes the prefetch queue (ref:
+        # load_data.py:279-281 num_workers override)
+        env_workers = os.getenv("HYDRAGNN_NUM_WORKERS")
+        if env_workers is not None:
+            depth = max(int(env_workers), 1)
         self.loader = loader
         self.depth = depth
 
@@ -160,6 +166,17 @@ class PrefetchLoader:
         SENTINEL = object()
 
         def producer():
+            # optional CPU pinning of the collate thread (ref:
+            # load_data.py:117-139 HYDRAGNN_AFFINITY[_WIDTH/_OFFSET])
+            if os.getenv("HYDRAGNN_AFFINITY") is not None and hasattr(
+                os, "sched_setaffinity"
+            ):
+                width = int(os.getenv("HYDRAGNN_AFFINITY_WIDTH", "1"))
+                offset = int(os.getenv("HYDRAGNN_AFFINITY_OFFSET", "0"))
+                try:
+                    os.sched_setaffinity(0, range(offset, offset + width))
+                except OSError:
+                    pass
             try:
                 for batch in self.loader:
                     q.put(batch)
@@ -230,6 +247,10 @@ def create_dataloaders(
         ld.n_node_pad = probe.n_node_pad
         ld.n_edge_pad = probe.n_edge_pad
         ld.n_graph_pad = probe.n_graph_pad
+    # HYDRAGNN_CUSTOM_DATALOADER=0 disables the threaded prefetch loader
+    # (ref: load_data.py:283-284 custom-dataloader toggle)
+    if os.getenv("HYDRAGNN_CUSTOM_DATALOADER") is not None:
+        prefetch = bool(int(os.environ["HYDRAGNN_CUSTOM_DATALOADER"]))
     if prefetch:
         return (
             PrefetchLoader(train_loader),

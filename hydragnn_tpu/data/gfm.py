@@ -293,8 +293,11 @@ def iter_extxyz_frames(path: str, limit: Optional[int] = None) -> Iterator[Dict]
                 pbc = np.array(
                     [t in ("T", "True", "1") for t in m.group(1).split()]
                 )
-            # Properties=species:S:1:pos:R:3:forces:R:3 -> column layout
-            force_col = None
+            # Properties=species:S:1:pos:R:3:forces:R:3 -> column layout.
+            # Species/pos/forces offsets all come from the same parse so a
+            # frame with extra per-atom fields before pos still reads
+            # correctly (default layout when no Properties= spec present).
+            species_col, pos_col, force_col = 0, 1, None
             m = _re.search(r"Properties=(\S+)", comment)
             if m:
                 toks = m.group(1).split(":")
@@ -303,12 +306,17 @@ def iter_extxyz_frames(path: str, limit: Optional[int] = None) -> Iterator[Dict]
                     width = int(toks[k + 2])
                     if toks[k] == "forces":
                         force_col = col
+                    elif toks[k] == "species":
+                        species_col = col
+                    elif toks[k] == "pos":
+                        pos_col = col
                     col += width
             numbers, pos, forces = [], [], []
             for row in lines[i + 2 : i + 2 + nat]:
                 c = row.split()
-                numbers.append(_SYMBOL_Z.get(c[0]) or int(float(c[0])))
-                pos.append([float(v) for v in c[1:4]])
+                s = c[species_col]
+                numbers.append(_SYMBOL_Z.get(s) or int(float(s)))
+                pos.append([float(v) for v in c[pos_col : pos_col + 3]])
                 if force_col is not None and len(c) >= force_col + 3:
                     forces.append(
                         [float(v) for v in c[force_col : force_col + 3]]

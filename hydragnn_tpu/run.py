@@ -54,6 +54,15 @@ def _load_dataset(config: Dict[str, Any]):
         from hydragnn_tpu.data.pickledataset import SimplePickleDataset
 
         base = list(ds_cfg["path"].values())[0]
+        # SERIALIZED_DATA_PATH redirects serialized datasets to another
+        # filesystem (ref: load_data.py:363,403 env-rooted pkl paths)
+        env_root = os.getenv("SERIALIZED_DATA_PATH")
+        if env_root and not os.path.isdir(base):
+            alt = os.path.join(
+                env_root, "serialized_dataset", os.path.basename(base)
+            )
+            if os.path.isdir(alt):
+                base = alt
         return (
             list(SimplePickleDataset(base, "trainset")),
             list(SimplePickleDataset(base, "valset")),

@@ -13,6 +13,7 @@ inner ``jax.grad`` — nested autodiff replaces torch's create_graph=True.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -448,9 +449,22 @@ def evaluate(loader, state, eval_step, cfg: ArchConfig,
     cnt = np.zeros(nh)
     tasks_acc = np.zeros(nh)
     nb = 0
+    # HYDRAGNN_DUMP_TESTDATA=1 dumps per-process (batch, prediction)
+    # pickles (ref: train_validate_test.py:642-664 testdata_rank{rank})
+    dump_f = None
+    if int(os.getenv("HYDRAGNN_DUMP_TESTDATA", "0")) == 1:
+        import pickle
+
+        dump_f = open(f"testdata_rank{jax.process_index()}.pickle", "wb")
     for batch in loader:
         loss, tasks, pred = eval_step(state, batch)
         losses.append(float(loss))
+        if dump_f is not None:
+            import pickle
+
+            pickle.dump(
+                (jax.device_get(batch), jax.device_get(pred)), dump_f
+            )
         if cfg.var_output:
             pred = pred[0]
         if compute_grad_energy:
@@ -480,6 +494,8 @@ def evaluate(loader, state, eval_step, cfg: ArchConfig,
             cnt[ih] += float(np.sum(m)) * p.shape[-1]
             tasks_acc[ih] += float(tasks[ih])
         nb += 1
+    if dump_f is not None:
+        dump_f.close()
     rmse = np.sqrt(sq / np.maximum(cnt, 1.0))
     mae = ab / np.maximum(cnt, 1.0)
     return (
@@ -526,6 +542,24 @@ def train_validate_test(
         sample = next(iter(train_loader))
         state = init_state(model, sample, optimizer, rng)
 
+    # continue-training: load an existing checkpoint (model + optimizer
+    # state) before the epoch loop (ref: run_training.py:114 ->
+    # utils/model/model.py:118-149 load_existing_model_config; name from
+    # Training["startfrom"], path ./logs/<name>/)
+    if training.get("continue"):
+        from hydragnn_tpu.utils.checkpoint import load_checkpoint
+
+        startfrom = training.get("startfrom", "existing_model")
+        ckpt_path = (
+            startfrom if _os.path.isdir(startfrom)
+            else _os.path.join("./logs", startfrom)
+        )
+        epoch_env = _os.getenv("HYDRAGNN_EPOCH")
+        state = load_checkpoint(
+            ckpt_path, state,
+            epoch=int(epoch_env) if epoch_env is not None else None,
+        )
+
     mixed_precision = str(training.get("mixed_precision", "")).lower() in (
         "bf16", "bfloat16", "true", "1"
     )
@@ -570,7 +604,12 @@ def train_validate_test(
             writer = None
 
     history = {"train_loss": [], "val_loss": [], "train_tasks": [], "val_tasks": []}
-    for epoch in range(num_epoch):
+    # restart at a later epoch (ref: train_validate_test.py:152-154
+    # Training["epoch_start"]; HYDRAGNN_EPOCH exported per epoch so
+    # checkpoint names and external tooling can see the current epoch)
+    epoch_start = int(training.get("epoch_start", 0))
+    for epoch in range(epoch_start, num_epoch):
+        _os.environ["HYDRAGNN_EPOCH"] = str(epoch)
         epoch_t0 = time.perf_counter()
         tr.start("train")
         train_loader.set_epoch(epoch)
