@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build_batch(n_graphs, n, deg, seed, dense_adj=False):
+def build_batch(n_graphs, n, deg, seed, dense_adj=False, slotted=False):
     from hydragnn_tpu.graph import GraphSample, collate
 
     rng = np.random.RandomState(seed)
@@ -43,6 +43,9 @@ def build_batch(n_graphs, n, deg, seed, dense_adj=False):
         )
     if dense_adj:
         return collate(samples, node_slot=n, dense_adjacency=True)
+    if slotted:
+        # node+edge slots: the fused per-graph-block edge-kernel layout
+        return collate(samples, node_slot=n, edge_slot=n * deg)
     return collate(samples)
 
 
@@ -82,6 +85,8 @@ def main():
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dense_adj", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="slotted collate + fused Pallas edge kernel")
     p.add_argument("--json", action="store_true",
                    help="print one JSON result line (for bench.py)")
     args = p.parse_args()
@@ -117,7 +122,7 @@ def main():
     model = create_model(cfg)
     batches = [
         build_batch(args.graphs, args.nodes, args.deg, seed=s,
-                    dense_adj=args.dense_adj)
+                    dense_adj=args.dense_adj, slotted=args.fused)
         for s in range(args.steps)
     ]
     E = batches[0].senders.shape[0]

@@ -88,16 +88,59 @@ def radius_graph_pbc(
     r: float,
     max_num_neighbors: int = 32,
     pbc: Tuple[bool, bool, bool] = (True, True, True),
+    ensure_connected: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Periodic radius graph.
 
-    Returns (edge_index [2, E], shifts [E, 3]) where the displacement of edge
-    (j -> i) is ``pos[i] - pos[j] - shifts @ cell`` ... i.e. ``shifts`` holds
-    integer lattice offsets applied to the source position. Mirrors ASE
-    ``neighbor_list("ijS", ...)`` as used in the reference (ref:
-    graph_samples_checks_and_updates.py:152-176; distances corrected by
-    ``edge_shifts`` at :346-377).
+    Returns (edge_index [2, E], shifts [E, 3]) where ``shifts`` holds
+    CARTESIAN shift vectors (already multiplied by the cell) and the
+    displacement of edge (send -> recv) is
+    ``vec = pos[recv] - pos[send] + shifts`` — the reference's
+    ``edge_shifts`` convention after its ``edge_cell_shifts @ cell``
+    multiply (ref: graph_samples_checks_and_updates.py:232-237;
+    hydragnn/utils/model/operations.py:21-36). Do NOT apply ``@ cell``
+    again to the returned shifts.
+
+    With ``ensure_connected`` (default, matching the reference's
+    RadiusGraphPBC :162-208), sparse structures are retried with a 1.25x
+    grown cutoff (3 attempts) until every node receives an edge; nodes
+    still isolated after that get one artificial zero-shift edge from a
+    random other node (ref: _ensure_connected :284-307).
     """
+    if ensure_connected:
+        n = pos.shape[0]
+        cutoff, max_attempts = float(r), 3
+        for attempt in range(max_attempts):
+            edge_index, shifts = radius_graph_pbc(
+                pos, cell, cutoff, max_num_neighbors, pbc,
+                ensure_connected=False,
+            )
+            if np.unique(edge_index[1]).size == n or n <= 1:
+                return edge_index, shifts
+            if attempt < max_attempts - 1:
+                print(
+                    "Not all nodes receive an edge, expanding radius from "
+                    f"{cutoff} -> {cutoff * 1.25}", flush=True,
+                )
+                cutoff *= 1.25
+        # artificial fallback: one zero-shift edge into each isolated node
+        missing = np.setdiff1d(np.arange(n), np.unique(edge_index[1]))
+        print(
+            "WARNING: Some nodes are still missing in 'edge_dst'. "
+            "They will be constructed artificially.", flush=True,
+        )
+        rng = np.random.RandomState(0)
+        srcs = np.empty(len(missing), np.int64)
+        for k, mnode in enumerate(missing):
+            choices = np.arange(n)[np.arange(n) != mnode]
+            srcs[k] = rng.choice(choices) if n > 1 else 0
+        edge_index = np.concatenate(
+            [edge_index, np.stack([srcs, missing])], axis=1
+        )
+        shifts = np.concatenate(
+            [shifts, np.zeros((len(missing), 3), np.float32)], axis=0
+        )
+        return edge_index, shifts
     n = pos.shape[0]
     cell = np.asarray(cell, np.float64).reshape(3, 3)
 

@@ -102,6 +102,13 @@ class GraphBatch:
     # GPS global attention run per-graph [G, S, S] blocks instead of the
     # whole-batch [N, N] mask (G-fold fewer logits).
     node_slot: Optional[int] = struct.field(pytree_node=False, default=None)
+    # STATIC per-graph edge slot (collate(edge_slot=Eg)): graph g's edges at
+    # rows [g*Eg, (g+1)*Eg), padding edges (-> node N-1, mask 0) at each
+    # group's tail. Enables the fused per-graph-block edge-chain kernel
+    # (ops/pallas_egnn.py). NOTE: receivers are receiver-sorted only WITHIN
+    # a graph's group, not globally — ops that assume global sortedness must
+    # check this field.
+    edge_slot: Optional[int] = struct.field(pytree_node=False, default=None)
     # STATIC fused-SpMM sender-window hint (ops/pallas_spmm.required_window,
     # set by collate): smallest verified cascade width covering every edge
     # tile's endpoint span in BOTH edge directions (fwd receiver-sorted, bwd
@@ -199,6 +206,7 @@ def collate(
     edge_multiple: int = 128,
     sort_edges_by_receiver: bool = True,
     node_slot: Optional[int] = None,
+    edge_slot: Optional[int] = None,
     dense_adjacency: bool = False,
     bcsr_adjacency: bool = False,
 ) -> GraphBatch:
@@ -217,6 +225,11 @@ def collate(
     for GIANT (RCM-ordered) graphs — the streamed banded-matmul aggregation
     path (ops/bcsr.py). Host build is O(E); worth it when the batch is
     reused over many layers/steps.
+
+    ``edge_slot=Eg`` (requires ``node_slot``) lays graph g's edges into a
+    fixed Eg-row slot [g*Eg, (g+1)*Eg), receiver-sorted within the slot,
+    padding edges (sender=receiver=N-1, mask 0) at the slot tail — the
+    layout of the fused per-graph-block edge kernel (ops/pallas_egnn.py).
     """
     G = len(samples)
     tot_n = sum(s.num_nodes for s in samples)
@@ -224,6 +237,8 @@ def collate(
     auto_n, auto_e, auto_g = pad_sizes(tot_n, tot_e, G, node_multiple, edge_multiple)
     if dense_adjacency and node_slot is None:
         raise ValueError("dense_adjacency requires node_slot")
+    if edge_slot is not None and node_slot is None:
+        raise ValueError("edge_slot requires node_slot")
     Gp = n_graph_pad or auto_g
     if node_slot is not None:
         max_n = max((s.num_nodes for s in samples), default=0)
@@ -236,7 +251,18 @@ def collate(
             raise ValueError("node_slot fixes n_node_pad = n_graph_pad * slot")
     else:
         N = n_node_pad or auto_n
-    E = n_edge_pad or auto_e
+    if edge_slot is not None:
+        max_e = max((s.num_edges for s in samples), default=0)
+        if max_e > edge_slot:
+            raise ValueError(
+                f"edge_slot={edge_slot} smaller than largest graph's edge "
+                f"count ({max_e})"
+            )
+        E = Gp * edge_slot
+        if n_edge_pad is not None and n_edge_pad != E:
+            raise ValueError("edge_slot fixes n_edge_pad = n_graph_pad * slot")
+    else:
+        E = n_edge_pad or auto_e
     if N < tot_n + 1 or E < tot_e or Gp < G + 1:
         raise ValueError(
             f"padded sizes ({N},{E},{Gp}) too small for batch ({tot_n},{tot_e},{G})"
@@ -303,12 +329,26 @@ def collate(
         [np.atleast_2d(s.x.reshape(s.num_nodes, -1)) for s in samples]
     )
     pos[dest] = np.concatenate([s.pos for s in samples])
+    if edge_slot is not None:
+        # per-graph edge slots, receiver-sorted within the slot
+        e_orders = [
+            np.argsort(s.edge_index[1], kind="stable") for s in samples
+        ]
+        e_dest = np.concatenate(
+            [np.arange(e, dtype=np.int64) + g * edge_slot
+             for g, e in enumerate(e_sizes)]
+        ) if G else np.zeros((0,), np.int64)
+    else:
+        e_orders = [np.arange(s.num_edges) for s in samples]
+        e_dest = np.arange(tot_e, dtype=np.int64)
     if tot_e:
-        senders[:tot_e] = np.concatenate(
-            [s.edge_index[0] + off for s, off in zip(samples, n_offsets)]
+        senders[e_dest] = np.concatenate(
+            [s.edge_index[0][o] + off
+             for s, o, off in zip(samples, e_orders, n_offsets)]
         )
-        receivers[:tot_e] = np.concatenate(
-            [s.edge_index[1] + off for s, off in zip(samples, n_offsets)]
+        receivers[e_dest] = np.concatenate(
+            [s.edge_index[1][o] + off
+             for s, o, off in zip(samples, e_orders, n_offsets)]
         )
     if node_slot is not None:
         # every row of slot g (incl. slot padding) is labeled graph g so
@@ -320,15 +360,18 @@ def collate(
     else:
         node_graph_idx[dest] = np.repeat(np.arange(G, dtype=np.int32), n_sizes)
     node_mask[dest] = True
-    edge_mask[:tot_e] = True
+    edge_mask[e_dest] = True
     graph_mask[:G] = True
     n_node[:G] = n_sizes
     dataset_id[:G] = [s.dataset_id for s in samples]
     if tot_e and samples[0].edge_shifts is not None:
-        edge_shifts[:tot_e] = np.concatenate([s.edge_shifts for s in samples])
+        edge_shifts[e_dest] = np.concatenate(
+            [s.edge_shifts[o] for s, o in zip(samples, e_orders)]
+        )
     if edge_attr is not None and tot_e:
-        edge_attr[:tot_e] = np.concatenate(
-            [np.atleast_2d(s.edge_attr.reshape(s.num_edges, -1)) for s in samples]
+        edge_attr[e_dest] = np.concatenate(
+            [np.atleast_2d(s.edge_attr.reshape(s.num_edges, -1))[o]
+             for s, o in zip(samples, e_orders)]
         )
     if graph_y is not None:
         graph_y[:G] = np.stack(
@@ -347,11 +390,12 @@ def collate(
             [np.atleast_2d(s.pe.reshape(s.num_nodes, -1)) for s in samples]
         )
     if rel_pe is not None and tot_e:
-        rel_pe[:tot_e] = np.concatenate(
-            [np.atleast_2d(s.rel_pe.reshape(s.num_edges, -1)) for s in samples]
+        rel_pe[e_dest] = np.concatenate(
+            [np.atleast_2d(s.rel_pe.reshape(s.num_edges, -1))[o]
+             for s, o in zip(samples, e_orders)]
         )
 
-    if sort_edges_by_receiver and tot_e > 0:
+    if sort_edges_by_receiver and tot_e > 0 and edge_slot is None:
         # padding edges already point at the last node (max receiver), so the
         # default introsort keeps them at the tail; ties within a receiver
         # carry no semantics
@@ -372,7 +416,7 @@ def collate(
     )
 
     spmm_window = None
-    if sort_edges_by_receiver and tot_e > 0:
+    if sort_edges_by_receiver and tot_e > 0 and edge_slot is None:
         # static fused-SpMM window hint: verify both edge directions so the
         # custom-VJP backward (roles swapped, sender-sorted) is covered too
         from hydragnn_tpu.ops.pallas_spmm import required_window
@@ -423,6 +467,7 @@ def collate(
     dev = jax.device_put(host)
     return GraphBatch(
         node_slot=node_slot,
+        edge_slot=edge_slot,
         spmm_window=spmm_window,
         bcsr=bcsr,
         edge_attr=dev.get("edge_attr"),

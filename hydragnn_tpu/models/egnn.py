@@ -22,6 +22,46 @@ from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
 from hydragnn_tpu.ops.segment import segment_mean, segment_sum, segment_sum_via_perm
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree layout ({kernel, bias}) so the
+    weights can feed either the plain XLA path or the fused Pallas kernel
+    without changing the param pytree."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+def _use_fused_edge_kernel(batch: GraphBatch) -> bool:
+    """Fused per-graph-block edge-chain kernel (ops/pallas_egnn.py):
+    requires the slotted collate layout; TPU-only unless forced
+    (HYDRAGNN_FUSED_EGNN=1 enables under interpret mode for tests;
+    =0 disables)."""
+    import os
+
+    flag = os.getenv("HYDRAGNN_FUSED_EGNN", "auto")
+    if flag == "0":
+        return False
+    if batch.node_slot is None or batch.edge_slot is None:
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 class E_GCL(nn.Module):
     in_dim: int
     out_dim: int
@@ -65,13 +105,38 @@ class E_GCL(nn.Module):
             self.hidden_dim, use_bias=False, name="edge_mlp_0_dst",
             kernel_init=split_init(F, fan_total),
         )(inv)
-        geom = nn.Dense(
-            self.hidden_dim, use_bias=False, name="edge_mlp_0_geom",
-            kernel_init=split_init(g, fan_total),
-        )(jnp.concatenate(geom_parts, axis=-1))
+        wg, _ = _DenseParams(
+            g, self.hidden_dim, use_bias=False,
+            kernel_init=split_init(g, fan_total), name="edge_mlp_0_geom",
+        )()
+        w1, b1 = _DenseParams(
+            self.hidden_dim, self.hidden_dim, name="edge_mlp_1"
+        )()
+        geom_feats = jnp.concatenate(geom_parts, axis=-1)
+
+        fused = (not self.equivariant) and _use_fused_edge_kernel(batch)
+        if fused:
+            # whole edge chain (gathers -> edge MLP -> relu -> mask ->
+            # segment-sum-by-sender) in one per-graph-block Pallas kernel;
+            # [E, H] intermediates never touch HBM (ops/pallas_egnn.py)
+            from hydragnn_tpu.ops.pallas_egnn import egnn_edge_fused
+
+            agg = egnn_edge_fused(
+                pre_s, pre_d, geom_feats.astype(pre_s.dtype),
+                w1.astype(pre_s.dtype), b1.astype(pre_s.dtype),
+                wg.astype(pre_s.dtype),
+                batch.senders, batch.receivers,
+                batch.node_slot, batch.edge_slot,
+            )
+            h = jnp.concatenate([inv, agg], axis=-1)
+            h = jax.nn.relu(nn.Dense(self.hidden_dim, name="node_mlp_0")(h))
+            h = nn.Dense(self.out_dim, name="node_mlp_1")(h)
+            return h, equiv
+
+        geom = geom_feats.astype(pre_s.dtype) @ wg.astype(pre_s.dtype)
         m = batch.gather_src(pre_s) + batch.gather_dst(pre_d) + geom
         m = jax.nn.relu(m)
-        m = jax.nn.relu(nn.Dense(self.hidden_dim, name="edge_mlp_1")(m))
+        m = jax.nn.relu(m @ w1.astype(m.dtype) + b1.astype(m.dtype))
         m = m * batch.edge_mask[:, None].astype(m.dtype)
 
         if self.equivariant:

@@ -172,10 +172,89 @@ class InteractionBlock(nn.Module):
         return message, sc
 
 
+def symmetric_product_paths(
+    input_ls: List[int], target_ls: List[int], correlation: int
+) -> Dict[int, List[Tuple]]:
+    """Enumerate the left-associated iterated-CG coupling trees of the
+    n-body product basis: paths ((l_a (x) l_b -> l_ab) (x) l_c -> ...).
+
+    For identical inputs (x (x) x (x) ...), a fixed parenthesization with
+    ALL admissible intermediate l spans the full space of equivariant maps
+    on the tensor power — a superset of e3nn's U-matrix symmetric
+    contraction span (symmetric tensors are a subspace of the tensor
+    power), which is what the reference's SymmetricContraction
+    parametrizes (ref: symmetric_contraction.py:29-238, tools/cg.py:94).
+    Verified numerically in tests/test_mace_oracle.py (span fit).
+
+    Intermediate l after coupling k of n is capped at
+    ``max(target) + (n - k - 1) * max(input)`` — larger intermediates
+    cannot reach any target through the remaining couplings. Couplings of
+    BOTH parities are enumerated (odd-l1+l2+l3 tensors couple through
+    parity-flipped intermediates, matching e3nn's unfiltered
+    ``ir_left * ir`` product in the reference U-matrix builder); a path
+    contributes to target l only when its leaf parity
+    ``(-1)^(sum of leaf l)`` equals the target's SH parity ``(-1)^l``.
+    Returns {target_l: [path, ...]} with path = ((l1, l2, l12),
+    (l12, l3, l123), ...) or ((l,),) for the order-1 identity.
+    """
+    lmax_in = max(input_ls)
+    lmax_t = max(target_ls)
+    paths: Dict[int, List[Tuple]] = {l: [] for l in target_ls}
+    for l in target_ls:
+        if l in input_ls:
+            paths[l].append(((l,),))
+    # frontier: (current_l, leaf_l_sum, coupling-steps tuple); dedupe the
+    # first pair (l1, l2) order since x (x) x is symmetric in it
+    frontier = [(l, l, ((l,),)) for l in input_ls]
+    for order in range(2, correlation + 1):
+        remaining = correlation - order  # couplings still to come
+        cap = lmax_t + remaining * lmax_in
+        nxt = []
+        for l1, leafsum, steps in frontier:
+            for l2 in input_ls:
+                if order == 2 and l2 < l1:
+                    continue  # (l1,l2) ~ (l2,l1) on identical inputs
+                for l3 in range(abs(l1 - l2), min(l1 + l2, cap) + 1):
+                    if (
+                        order == 2
+                        and l1 == l2
+                        and (l1 + l2 + l3) % 2 == 1
+                    ):
+                        # antisymmetric coupling of an irrep with itself
+                        # vanishes identically on x (x) x
+                        continue
+                    step = steps + ((l1, l2, l3),) if order > 2 else (
+                        ((l1 if l1 <= l2 else l2,
+                          l2 if l1 <= l2 else l1, l3),)
+                    )
+                    nxt.append((l3, leafsum + l2, step))
+                    if l3 in paths and (leafsum + l2 + l3) % 2 == 0:
+                        paths[l3].append(step)
+        frontier = nxt
+    return paths
+
+
+def _apply_path(path, xs, dtype):
+    """Evaluate one coupling tree on per-l features xs[l] = [N, F, 2l+1]."""
+    from hydragnn_tpu.ops.irreps import coupling_w3j
+
+    if len(path[0]) == 1:  # order-1 identity
+        return xs[path[0][0]]
+    first = path[0]
+    cur = xs[first[0]]
+    for (l1, l2, l3) in path:
+        C = jnp.asarray(coupling_w3j(l1, l2, l3), dtype)
+        cur = jnp.einsum("abc,nfa,nfb->nfc", C, cur, xs[l2])
+    return cur
+
+
 class SymmetricProduct(nn.Module):
     """EquivariantProductBasisBlock equivalent (ref: blocks.py:166-204;
     symmetric_contraction.py:29-238): n-body products via iterated CG with
-    per-element path weights (re-parametrized basis; see module docstring)."""
+    independent per-element, per-path, per-channel weights. The path basis
+    (left-associated trees, all admissible intermediates) spans a superset
+    of e3nn's U-matrix symmetric-contraction span — verified numerically in
+    tests/test_mace_oracle.py."""
 
     irreps_in: Irreps  # F x (each sh l)
     target: Irreps  # F x (l <= node_max_ell)
@@ -190,35 +269,18 @@ class SymmetricProduct(nn.Module):
             self.irreps_in.items, split_flat(node_feats, self.irreps_in)
         )}
         target_ls = sorted({l for _, l in self.target.items})
-        lmax_keep = max(
-            max(target_ls), max(l for _, l in self.irreps_in.items)
+        input_ls = sorted(xs)
+
+        path_map = symmetric_product_paths(
+            input_ls, target_ls, self.correlation
         )
-
-        # order-1 contribution
-        contribs = {l: [] for l in target_ls}
-        for l in target_ls:
-            if l in xs:
-                contribs[l].append(xs[l])
-
-        cur = xs
-        for order in range(2, self.correlation + 1):
-            nxt: Dict[int, List[jnp.ndarray]] = {}
-            for l1, a in cur.items():
-                for l2, b in xs.items():
-                    for l3 in range(abs(l1 - l2), min(l1 + l2, lmax_keep) + 1):
-                        if (l1 + l2 + l3) % 2 == 1:
-                            continue
-                        C = jnp.asarray(
-                            coupling(l1, l2, l3), node_feats.dtype
-                        )
-                        y = jnp.einsum("abc,nfa,nfb->nfc", C, a, b)
-                        nxt.setdefault(l3, []).append(y)
-            cur = {
-                l: sum(v) / math.sqrt(len(v)) for l, v in nxt.items()
-            }
-            for l in target_ls:
-                if l in cur:
-                    contribs[l].append(cur[l])
+        contribs = {
+            l: [
+                _apply_path(p, xs, node_feats.dtype)
+                for p in path_map[l]
+            ]
+            for l in target_ls
+        }
 
         # per-element weighted mix of all contributions per target l
         outs = []

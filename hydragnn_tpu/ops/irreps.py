@@ -274,6 +274,62 @@ def coupling(l1: int, l2: int, l3: int) -> np.ndarray:
     return C / nrm * math.sqrt(d3)
 
 
+def _rotation_D_np(l: int, R: np.ndarray) -> np.ndarray:
+    """Real-SH Wigner matrix D_l(R) with Y_l(Rv) = D_l(R) Y_l(v), solved
+    from SH evaluations on random unit vectors (exact to fp64 lstsq)."""
+    rng = np.random.RandomState(29 + l)
+    v = rng.randn(6 * l + 9, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    sl = slice(l * l, (l + 1) * (l + 1))
+    Y = real_sph_harm_np(l, v)[:, sl]
+    Yr = real_sph_harm_np(l, v @ R.T)[:, sl]
+    Dt, *_ = np.linalg.lstsq(Y, Yr, rcond=None)
+    return Dt.T
+
+
+@functools.lru_cache(maxsize=None)
+def coupling_w3j(l1: int, l2: int, l3: int) -> np.ndarray:
+    """Real-basis SO(3) coupling tensor for ANY triangle-valid triple,
+    including odd l1+l2+l3 (couplings through parity-flipped intermediates,
+    which e3nn's wigner_3j provides and pure Gaunt integrals cannot — the
+    reference's U-matrix basis uses them, mace_utils/tools/cg.py:44-91
+    ``for ir_out in ir_left * ir`` with no parity-to-l tie). Even sums
+    delegate to :func:`coupling` (identical numerics). Odd sums are solved
+    from first principles as the 1-dimensional null space of the rotation-
+    invariance constraint C = (D1 (x) D2 (x) D3) C over random rotations.
+    Normalized sum C^2 = 2*l3+1; deterministic sign."""
+    d1, d2, d3 = 2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1
+    if l3 < abs(l1 - l2) or l3 > l1 + l2:
+        return np.zeros((d1, d2, d3))
+    if (l1 + l2 + l3) % 2 == 0:
+        return coupling(l1, l2, l3)
+    rows = []
+    for seed in (101, 202, 303):
+        rng = np.random.RandomState(seed)
+        Q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1.0
+        K = np.kron(
+            _rotation_D_np(l1, Q),
+            np.kron(_rotation_D_np(l2, Q), _rotation_D_np(l3, Q)),
+        )
+        rows.append(K - np.eye(d1 * d2 * d3))
+    A = np.concatenate(rows, axis=0)
+    _, s, Vt = np.linalg.svd(A, full_matrices=False)
+    null = Vt[s < s[0] * 1e-9]
+    if null.shape[0] != 1:
+        # no (or degenerate) intertwiner — should not happen for valid
+        # triangles; treat as forbidden
+        return np.zeros((d1, d2, d3))
+    C = null[0].reshape(d1, d2, d3)
+    C = C / np.sqrt((C ** 2).sum()) * math.sqrt(d3)
+    flat = C.ravel()
+    lead = flat[np.abs(flat) > 0.3 * np.abs(flat).max()][0]
+    if lead < 0:
+        C = -C
+    return C
+
+
 def tp_instructions(
     irreps1: Irreps, irreps2: Irreps, target: Irreps
 ) -> Tuple[Irreps, List[Tuple[int, int, int]]]:

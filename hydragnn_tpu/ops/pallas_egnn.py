@@ -1,0 +1,394 @@
+"""Fused slotted EGNN edge-chain kernel (Pallas, TPU).
+
+The EGNN conv's hot chain is gather(pre_s) + gather(pre_d) + geom ->
+relu -> edge MLP matmul -> relu -> mask -> segment-sum-by-sender
+(models/egnn.py E_GCL; ref: hydragnn/models/EGCLStack.py:273-298). Run
+unfused, every stage materializes an [E, H] tensor in HBM (~227 MB each at
+the GFM shape E=131k, H=866 bf16) and the step is HBM-bound at ~22% MFU
+(bench/results/train_step_r2.md). This kernel runs the WHOLE chain
+per-graph-block inside VMEM:
+
+  grid (G, K): one graph slot x one edge chunk per step
+  gathers + the sender segment-sum are one-hot MXU matmuls against the
+  slot-local [S, ET] match matrix (same idiom as ops/pallas_segment.py)
+  the [E, H] intermediates never touch HBM; per-layer HBM traffic drops
+  from ~GBs to reads of pre_s/pre_d [N, Hp] + the weight + writes of
+  agg [N, Hp]
+
+Layout contract (collate(node_slot=S, edge_slot=Eg)): graph g owns node
+rows [g*S, (g+1)*S) and edge rows [g*Eg, (g+1)*Eg); every edge of graph g
+has both endpoints inside its slot; padding edges point at node N-1 which
+matches no row of a real graph's slot -> their one-hot rows/columns are
+zero and they are excluded from gathers AND the scatter by construction
+(the trailing padding-graph block aggregates garbage that downstream masks
+discard, same contract as the unfused path).
+
+Backward (custom VJP) recomputes the forward per chunk (remat: ~33% extra
+MXU FLOPs instead of [E, H] residual traffic) and accumulates dW/db/dWg in
+VMEM across the sequential TPU grid.
+
+Hidden width is padded to a 128-lane multiple internally (866 -> 896): pad
+columns of pre/W/b are exact zeros through relu, so results equal the
+unpadded math; XLA's own relayout of misaligned [E, 866] tensors is what
+made the unfused path slow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _onehot(ids, s_rows: int, row_base, et: int, dtype):
+    """[S, ET] match matrix: one[n, e] = (ids[e] == row_base + n).
+
+    ids is an [ET//LANES, LANES] int32 array of global node ids."""
+    rowids = (
+        jax.lax.broadcasted_iota(jnp.int32, (s_rows, LANES), 0) + row_base
+    )
+    sub = et // LANES
+    return jnp.concatenate(
+        [
+            (rowids == ids[si : si + 1, :]).astype(dtype)
+            for si in range(sub)
+        ],
+        axis=1,
+    )
+
+
+def _chunk_ids(ids_ref, k, sub: int):
+    """Chunk k's [sub, LANES] id rows. The index array is laid out
+    [G*K, sub_pad, LANES] with sub_pad = roundup(sub, 8) (Mosaic needs
+    8-divisible sublane blocks) and sentinel-filled pad rows; the block
+    index_map already selected chunk (g, k), so only a STATIC row slice
+    remains (Mosaic cannot lower dynamic_slice on values)."""
+    del k
+    return ids_ref[0][:sub]
+
+
+def _fwd_kernel(
+    s_ref,      # [1, Eg//LANES, LANES] int32 senders (global ids)
+    r_ref,      # [1, Eg//LANES, LANES] int32 receivers
+    geo_ref,    # [ET, GD] geom features
+    pre_s_ref,  # [S, Hp]
+    pre_d_ref,  # [S, Hp]
+    wg_ref,     # [GD, Hp]
+    w1_ref,     # [Hp, Hp]
+    b1_ref,     # [1, Hp]
+    agg_ref,    # [S, Hp] f32 out (accumulated over k)
+    *,
+    S: int,
+    ET: int,
+    GD: int,
+):
+    g = pl.program_id(0)
+    k = pl.program_id(1)
+    dt = pre_s_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sub = ET // LANES
+    oh_s = _onehot(_chunk_ids(s_ref, k, sub), S, g * S, ET, dt)  # [S, ET]
+    oh_r = _onehot(_chunk_ids(r_ref, k, sub), S, g * S, ET, dt)
+    cdims = (((0,), (0,)), ((), ()))
+    z0 = jax.lax.dot_general(
+        oh_s, pre_s_ref[:], cdims, preferred_element_type=jnp.float32, precision=prec
+    ) + jax.lax.dot_general(
+        oh_r, pre_d_ref[:], cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    geo = geo_ref[:].astype(jnp.float32)
+    for d in range(GD):
+        z0 = z0 + geo[:, d : d + 1] * wg_ref[d : d + 1, :].astype(
+            jnp.float32
+        )
+    m1 = jnp.maximum(z0, 0.0).astype(dt)  # [ET, Hp]
+    z2 = (
+        jnp.dot(m1, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
+        + b1_ref[:].astype(jnp.float32)
+    )
+    m2 = jnp.maximum(z2, 0.0).astype(dt)
+    part = jax.lax.dot_general(
+        oh_s, m2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [S, Hp]
+
+    @pl.when(k == 0)
+    def _():
+        agg_ref[:] = jnp.zeros_like(agg_ref)
+
+    agg_ref[:] += part
+
+
+def _bwd_kernel(
+    s_ref, r_ref, geo_ref, pre_s_ref, pre_d_ref, wg_ref, w1_ref, b1_ref,
+    dagg_ref,     # [S, Hp] cotangent of agg (f32)
+    dpre_s_ref,   # [S, Hp] f32 out (acc over k)
+    dpre_d_ref,   # [S, Hp] f32 out
+    dgeo_ref,     # [ET, GD] f32 out
+    dwg_ref,      # [GD, Hp] f32 out (acc over all)
+    dw1_ref,      # [Hp, Hp] f32 out (acc over all)
+    db1_ref,      # [1, Hp] f32 out (acc over all)
+    *,
+    S: int,
+    ET: int,
+    GD: int,
+):
+    g = pl.program_id(0)
+    k = pl.program_id(1)
+    dt = pre_s_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sub = ET // LANES
+    oh_s = _onehot(_chunk_ids(s_ref, k, sub), S, g * S, ET, dt)
+    oh_r = _onehot(_chunk_ids(r_ref, k, sub), S, g * S, ET, dt)
+    cdims = (((0,), (0,)), ((), ()))
+    # ---- recompute forward chunk
+    z0 = jax.lax.dot_general(
+        oh_s, pre_s_ref[:], cdims, preferred_element_type=jnp.float32, precision=prec
+    ) + jax.lax.dot_general(
+        oh_r, pre_d_ref[:], cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    geo = geo_ref[:].astype(jnp.float32)
+    for d in range(GD):
+        z0 = z0 + geo[:, d : d + 1] * wg_ref[d : d + 1, :].astype(
+            jnp.float32
+        )
+    m1 = jnp.maximum(z0, 0.0).astype(dt)
+    z2 = (
+        jnp.dot(m1, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
+        + b1_ref[:].astype(jnp.float32)
+    )
+    # ---- backward
+    dm2 = jax.lax.dot_general(
+        oh_s, dagg_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [ET, Hp]
+    dz2 = jnp.where(z2 > 0.0, dm2, 0.0).astype(dt)
+    # dm1 = dz2 @ W1^T (contract last-last: no transpose materialized)
+    dm1 = jax.lax.dot_general(
+        dz2, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dz0 = jnp.where(z0 > 0.0, dm1, 0.0).astype(dt)
+    dps = jax.lax.dot_general(
+        oh_s, dz0, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [S, Hp]
+    dpd = jax.lax.dot_general(
+        oh_r, dz0, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    # dgeom[e, d] = sum_h dz0[e, h] wg[d, h]
+    dz0f = dz0.astype(jnp.float32)
+    dgeo_cols = [
+        jnp.sum(dz0f * wg_ref[d : d + 1, :].astype(jnp.float32), axis=1,
+                keepdims=True)
+        for d in range(GD)
+    ]
+    dgeo_ref[:] = jnp.concatenate(dgeo_cols, axis=1)
+    dw1_part = jax.lax.dot_general(
+        m1, dz2, cdims, preferred_element_type=jnp.float32, precision=prec
+    )  # [Hp, Hp]
+    db1_part = jnp.sum(dz2.astype(jnp.float32), axis=0, keepdims=True)
+    dwg_part = jax.lax.dot_general(
+        geo.astype(dt), dz0, cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [GD, Hp]
+
+    first = jnp.logical_and(g == 0, k == 0)
+
+    @pl.when(k == 0)
+    def _():
+        dpre_s_ref[:] = jnp.zeros_like(dpre_s_ref)
+        dpre_d_ref[:] = jnp.zeros_like(dpre_d_ref)
+
+    dpre_s_ref[:] += dps
+    dpre_d_ref[:] += dpd
+
+    @pl.when(first)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dwg_ref[:] = jnp.zeros_like(dwg_ref)
+
+    dw1_ref[:] += dw1_part
+    db1_ref[:] += db1_part
+    dwg_ref[:] += dwg_part
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(G: int, S: int, Eg: int, ET: int, Hp: int, GD: int):
+    """custom-VJP fused edge-chain over padded/slotted arrays.
+
+    Shapes: pre_s/pre_d [G*S, Hp], geom [G*Eg, GD], w1 [Hp, Hp], b1 [1, Hp],
+    wg [GD, Hp], senders/receivers [G*Eg//LANES, LANES] int32 ->
+    agg [G*S, Hp] f32.
+    """
+    K = Eg // ET
+    sub_pad = _round_up(ET // LANES, 8)
+
+    idx_spec = pl.BlockSpec((1, sub_pad, LANES), lambda g, k: (g * K + k, 0, 0))
+    geo_spec = pl.BlockSpec((ET, GD), lambda g, k: (g * K + k, 0))
+    node_spec = pl.BlockSpec((S, Hp), lambda g, k: (g, 0))
+    wg_spec = pl.BlockSpec((GD, Hp), lambda g, k: (0, 0))
+    w1_spec = pl.BlockSpec((Hp, Hp), lambda g, k: (0, 0))
+    b1_spec = pl.BlockSpec((1, Hp), lambda g, k: (0, 0))
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, S=S, ET=ET, GD=GD),
+        grid=(G, K),
+        in_specs=[idx_spec, idx_spec, geo_spec, node_spec, node_spec,
+                  wg_spec, w1_spec, b1_spec],
+        out_specs=pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),
+        out_shape=jax.ShapeDtypeStruct((G * S, Hp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * Eg * Hp * (Hp + 3 * S),
+            bytes_accessed=G * (2 * S * Hp + Eg * GD) * 4 + Hp * Hp * 4,
+            transcendentals=0,
+        ),
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, S=S, ET=ET, GD=GD),
+        grid=(G, K),
+        in_specs=[idx_spec, idx_spec, geo_spec, node_spec, node_spec,
+                  wg_spec, w1_spec, b1_spec,
+                  pl.BlockSpec((S, Hp), lambda g, k: (g, 0))],
+        out_specs=[
+            pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),
+            pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),
+            geo_spec,
+            wg_spec,
+            w1_spec,
+            b1_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G * S, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((G * S, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((G * Eg, GD), jnp.float32),
+            jax.ShapeDtypeStruct((GD, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * G * Eg * Hp * (Hp + 2 * S),
+            bytes_accessed=G * (5 * S * Hp + 2 * Eg * GD) * 4
+            + 2 * Hp * Hp * 4,
+            transcendentals=0,
+        ),
+    )
+
+    @jax.custom_vjp
+    def core(pre_s, pre_d, geom, w1, b1, wg, s2d, r2d):
+        return fwd_call(s2d, r2d, geom, pre_s, pre_d, wg, w1, b1)
+
+    def core_fwd(pre_s, pre_d, geom, w1, b1, wg, s2d, r2d):
+        out = fwd_call(s2d, r2d, geom, pre_s, pre_d, wg, w1, b1)
+        return out, (pre_s, pre_d, geom, w1, b1, wg, s2d, r2d)
+
+    def core_bwd(res, dagg):
+        pre_s, pre_d, geom, w1, b1, wg, s2d, r2d = res
+        dps, dpd, dgeo, dwg, dw1, db1 = bwd_call(
+            s2d, r2d, geom, pre_s, pre_d, wg, w1, b1,
+            dagg.astype(jnp.float32),
+        )
+        dt = pre_s.dtype
+        return (
+            dps.astype(dt), dpd.astype(dt), dgeo.astype(geom.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dwg.astype(wg.dtype), None, None,
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def egnn_edge_fused(
+    pre_s: jnp.ndarray,     # [N, H] (N = G*S slotted)
+    pre_d: jnp.ndarray,     # [N, H]
+    geom: jnp.ndarray,      # [E, GD] (E = G*Eg slotted)
+    w1: jnp.ndarray,        # [H, H] edge_mlp_1 kernel
+    b1: jnp.ndarray,        # [H]
+    wg: jnp.ndarray,        # [GD, H] geom kernel
+    senders: jnp.ndarray,   # [E] int32 global node ids
+    receivers: jnp.ndarray, # [E] int32
+    node_slot: int,
+    edge_slot: int,
+    edge_tile: Optional[int] = None,
+) -> jnp.ndarray:
+    """agg[n] = sum over edges e with senders[e]==n of
+    relu(relu(pre_s[s_e] + pre_d[r_e] + geom_e @ wg) @ w1 + b1).
+
+    Returns [N, H] in pre_s.dtype. Requires the slotted collate layout
+    (see module docstring)."""
+    N, H = pre_s.shape
+    E, GD = geom.shape
+    S, Eg = node_slot, edge_slot
+    G = N // S
+    assert G * S == N and G * Eg == E, (N, S, E, Eg)
+    Hp = _round_up(H, LANES)
+    if edge_tile is None:
+        edge_tile = min(Eg, 512)
+    while Eg % edge_tile:
+        edge_tile //= 2
+    dt = pre_s.dtype
+    padH = Hp - H
+    if padH:
+        pre_s = jnp.pad(pre_s, ((0, 0), (0, padH)))
+        pre_d = jnp.pad(pre_d, ((0, 0), (0, padH)))
+        w1 = jnp.pad(w1, ((0, padH), (0, padH)))
+        b1 = jnp.pad(b1, (0, padH))
+        wg = jnp.pad(wg, ((0, 0), (0, padH)))
+    core = _make_core(G, S, Eg, edge_tile, Hp, GD)
+    sub = edge_tile // LANES
+    sub_pad = _round_up(sub, 8)
+    K = Eg // edge_tile
+
+    def _chunked(ids):
+        a = ids.astype(jnp.int32).reshape(G * K, sub, LANES)
+        if sub_pad != sub:
+            # sentinel pad rows: match no node row -> zero one-hot columns
+            a = jnp.pad(
+                a, ((0, 0), (0, sub_pad - sub), (0, 0)),
+                constant_values=np.int32(2**31 - 2),
+            )
+        return a
+
+    s2d = _chunked(senders)
+    r2d = _chunked(receivers)
+    agg = core(
+        pre_s, pre_d, geom.astype(dt), w1, b1.reshape(1, Hp), wg, s2d, r2d
+    )
+    return agg[:, :H].astype(dt)
+
+
+def egnn_edge_reference(
+    pre_s, pre_d, geom, w1, b1, wg, senders, receivers, num_nodes
+):
+    """Pure-XLA reference of the fused chain (for tests): padding edges
+    (both endpoints at N-1) contribute only to node N-1."""
+    m = pre_s[senders] + pre_d[receivers] + geom @ wg
+    m = jax.nn.relu(m)
+    m = jax.nn.relu(m @ w1 + b1)
+    return jax.ops.segment_sum(m, senders, num_nodes)

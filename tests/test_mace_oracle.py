@@ -263,3 +263,202 @@ def test_interaction_block_matches_dense_numpy():
         np.asarray(msg), message, rtol=1e-4, atol=1e-4
     )
     np.testing.assert_allclose(np.asarray(sc), sc_np, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-contraction span equivalence (VERDICT r2 item 9)
+# ---------------------------------------------------------------------------
+#
+# The reference's SymmetricContraction (symmetric_contraction.py:29-92)
+# parametrizes, per channel and element, the space of O(3)-equivariant
+# maps Sym^nu(V) -> W_lout via e3nn's U_matrix_real basis (tools/cg.py:94).
+# Our SymmetricProduct parametrizes left-associated iterated-CG trees
+# (models/mace.py symmetric_product_paths). The tests below verify, from
+# first principles (no e3nn): the ENTIRE intertwiner space
+# Hom_O(3)(Sym^3(V), W_lout) — computed numerically as the null space of
+# equivariance constraints under random rotations + inversion — is
+# contained in the span of our degree-3 path functions, and the two spaces
+# have EQUAL dimension. Since e3nn's U-matrix functions are a basis of
+# exactly that intertwiner space, span equality follows.
+
+
+def _wigner_block(l, R):
+    """D_l(R) for component-normalized real SH via Y(Rv) = D Y(v)."""
+    rng = np.random.RandomState(l + 7)
+    v = rng.randn(4 * l + 8, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    Y = real_sph_harm_np(l, v)[:, l * l:(l + 1) * (l + 1)]
+    Yr = real_sph_harm_np(l, v @ R.T)[:, l * l:(l + 1) * (l + 1)]
+    D, *_ = np.linalg.lstsq(Y, Yr, rcond=None)
+    return D.T
+
+
+def _rep(ls, R):
+    import scipy.linalg as sla  # noqa: F401 (block_diag below is numpy)
+
+    blocks = [_wigner_block(l, R) for l in ls]
+    n = sum(b.shape[0] for b in blocks)
+    out = np.zeros((n, n))
+    o = 0
+    for b in blocks:
+        d = b.shape[0]
+        out[o:o + d, o:o + d] = b
+        o += d
+    return out
+
+
+def _random_rotation(seed):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(3, 3)
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q
+
+
+def _intertwiner_space(ls_in, l_out, degree=3, seed=0):
+    """Numerical basis of Hom_O(3)(Sym^degree(V), W_lout): solve
+    T e(g x) = D_out(g) T e(x) for monomial-coefficient matrices T."""
+    dim_in = sum(2 * l + 1 for l in ls_in)
+    dim_out = 2 * l_out + 1
+    from itertools import combinations_with_replacement
+
+    monos = list(combinations_with_replacement(range(dim_in), degree))
+    M = len(monos)
+
+    def e(x):  # [P, dim_in] -> [P, M] monomials
+        cols = [np.prod(x[:, list(m)], axis=1) for m in monos]
+        return np.stack(cols, axis=1)
+
+    rng = np.random.RandomState(seed)
+    X = rng.randn(60, dim_in)
+    rows = []
+    gs = [_random_rotation(s) for s in (1, 2, 3)]
+    for g, par in [(g, False) for g in gs] + [(np.eye(3), True)]:
+        Din = _rep(ls_in, g)
+        Dout = _wigner_block(l_out, g)
+        if par:  # inversion: components of l pick up (-1)^l
+            Din = Din @ _parity(ls_in)
+            Dout = Dout * ((-1.0) ** l_out)
+        EX = e(X)           # [P, M]
+        EgX = e(X @ Din.T)  # [P, M]
+        # constraint per sample p, output row i: sum_m T[i,m] e(gx)_m -
+        # sum_{j,m} Dout[i,j] T[j,m] e(x)_m = 0; unknown T flattened
+        # row-major as (j, m) to match the reshape below
+        A = (
+            np.einsum("pm,ij->pijm", EgX, np.eye(dim_out))
+            - np.einsum("pm,ij->pijm", EX, Dout)
+        ).reshape(len(X) * dim_out, dim_out * M)
+        rows.append(A)
+    A = np.concatenate(rows, axis=0)
+    _, s, Vt = np.linalg.svd(A, full_matrices=True)
+    null = Vt[s.shape[0]:].tolist()  # rows beyond rank if A is wide
+    tol = max(s) * 1e-9
+    null = [Vt[i] for i in range(len(s)) if s[i] < tol] + [
+        Vt[i] for i in range(len(s), Vt.shape[0])
+    ]
+    Ts = [np.asarray(v).reshape(dim_out, M) for v in null]
+    return Ts, monos, e
+
+
+def _parity(ls):
+    d = []
+    for l in ls:
+        d += [(-1.0) ** l] * (2 * l + 1)
+    return np.diag(d)
+
+
+@pytest.mark.parametrize("l_out", [0, 1, 2])
+def test_symmetric_product_spans_u_matrix_space(l_out):
+    from hydragnn_tpu.models.mace import (
+        _apply_path,
+        symmetric_product_paths,
+    )
+
+    ls_in = [0, 1, 2]
+    Ts, monos, e = _intertwiner_space(ls_in, l_out, degree=3)
+    assert len(Ts) > 0  # the intertwiner space is non-trivial
+
+    # evaluate intertwiner functions + our degree-3 path functions on
+    # fresh samples
+    rng = np.random.RandomState(99)
+    Q = 80
+    X = rng.randn(Q, 9)
+    EX = e(X)
+    targets = [EX @ T.T for T in Ts]  # [Q, dim_out] each
+
+    paths = symmetric_product_paths(ls_in, [l_out], 3)[l_out]
+    order3 = [p for p in paths if len(p[0]) == 3 and len(p) == 2]
+    xs = {
+        0: jnp.asarray(X[:, None, 0:1]),
+        1: jnp.asarray(X[:, None, 1:4]),
+        2: jnp.asarray(X[:, None, 4:9]),
+    }
+    B = np.stack(
+        [
+            np.asarray(_apply_path(p, xs, jnp.float64))[:, 0, :]
+            for p in order3
+        ],
+        axis=-1,
+    )  # [Q, dim_out, n_paths]
+    Bm = B.reshape(Q * (2 * l_out + 1), -1)
+
+    # (1) every intertwiner lies in our span: relative residual ~ 0
+    for j, t in enumerate(targets):
+        tv = t.reshape(-1)
+        coef, res, *_ = np.linalg.lstsq(Bm, tv, rcond=None)
+        rel = np.linalg.norm(Bm @ coef - tv) / np.linalg.norm(tv)
+        assert rel < 5e-6, (j, rel)
+
+    # (2) dimension equality: our path functions span EXACTLY the
+    # intertwiner space. B is evaluated in fp32, so dependent columns
+    # leave relative singular values ~1e-7 while independent ones sit
+    # ~0.3 — a 1e-4 relative cut separates them cleanly.
+    sv = np.linalg.svd(Bm, compute_uv=False)
+    rank = int(np.sum(sv > sv[0] * 1e-4))
+    assert rank == len(Ts), (rank, len(Ts))
+
+
+def test_symmetric_product_mixed_orders_span():
+    """Degrees 1 and 2 (MACE sums contractions of every order <= nu):
+    the order-1/order-2 path functions span the degree-1/degree-2
+    intertwiner spaces as well."""
+    from hydragnn_tpu.models.mace import (
+        _apply_path,
+        symmetric_product_paths,
+    )
+
+    ls_in = [0, 1, 2]
+    rng = np.random.RandomState(5)
+    Q = 60
+    X = rng.randn(Q, 9)
+    xs = {
+        0: jnp.asarray(X[:, None, 0:1]),
+        1: jnp.asarray(X[:, None, 1:4]),
+        2: jnp.asarray(X[:, None, 4:9]),
+    }
+    for l_out in (0, 1, 2):
+        for degree in (1, 2):
+            Ts, monos, e = _intertwiner_space(ls_in, l_out, degree=degree)
+            if not Ts:
+                continue
+            EX = e(X)
+            paths = symmetric_product_paths(ls_in, [l_out], 3)[l_out]
+            sel = [
+                p for p in paths
+                if (degree == 1 and len(p[0]) == 1)
+                or (degree == 2 and len(p[0]) == 3 and len(p) == 1)
+            ]
+            assert sel, (l_out, degree)
+            B = np.stack(
+                [
+                    np.asarray(_apply_path(p, xs, jnp.float64))[:, 0, :]
+                    for p in sel
+                ],
+                axis=-1,
+            ).reshape(Q * (2 * l_out + 1), -1)
+            for T in Ts:
+                tv = (EX @ T.T).reshape(-1)
+                coef, *_ = np.linalg.lstsq(B, tv, rcond=None)
+                rel = np.linalg.norm(B @ coef - tv) / np.linalg.norm(tv)
+                assert rel < 5e-6, (l_out, degree, rel)
