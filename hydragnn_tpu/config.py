@@ -227,6 +227,27 @@ def update_config(
     else:
         arch["equivariance"] = False
 
+    # TPU lane alignment: a hidden_dim that is not a multiple of 128 makes
+    # XLA pad/relayout every [*, hidden] tensor (the reference's GFM config
+    # uses 866 — an HPO artifact; 896 ran 34% faster in round-2 ablations,
+    # bench/results/train_step_r2.md). "round_hidden_to_128": true rounds
+    # UP (more parameters, strictly more capacity); default only warns.
+    hd = int(arch.get("hidden_dim", 0) or 0)
+    if hd and hd % 128:
+        rounded = ((hd + 127) // 128) * 128
+        if arch.get("round_hidden_to_128"):
+            arch["hidden_dim"] = rounded
+        elif hd >= 256:
+            import warnings
+
+            warnings.warn(
+                f"hidden_dim={hd} is not a multiple of the TPU lane width "
+                f"(128); set Architecture.round_hidden_to_128=true to use "
+                f"{rounded} (faster on TPU, more parameters)",
+                stacklevel=2,
+            )
+    arch.setdefault("round_hidden_to_128", False)
+
     arch.setdefault("freeze_conv_layers", False)
     arch.setdefault("initial_bias", None)
     arch.setdefault("activation_function", "relu")

@@ -284,10 +284,11 @@ class HydraBase(nn.Module):
         return batch.x, batch.pos, ctx
 
     # ---------------------------------------------------------------- forward
-    def __call__(self, batch: GraphBatch, train: bool = False):
+    def conv_stack(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
+        """The encoder conv loop (ref: Base.forward:451-466). Split out so
+        pipeline parallelism can stage it across devices
+        (parallel/pipeline_model.py)."""
         cfg = self.cfg
-        inv, equiv, ctx = self._embedding(batch)
-
         for conv, norm in zip(self.graph_convs, self.feature_layers):
             if cfg.conv_checkpointing:
                 # rematerialize each conv layer (ref: Base.py:459-465);
@@ -316,8 +317,13 @@ class HydraBase(nn.Module):
             if norm is not None:
                 inv = norm(inv, batch.node_mask, use_running_average=not train)
             inv = self.activation_function(inv)
+        return inv, equiv
 
-        x = inv
+    def decode(self, x, equiv, batch: GraphBatch, ctx, train: bool = False):
+        """Readout + multi-head decoders (ref: Base.forward:473-566). Split
+        out so pipeline parallelism can run heads after the staged conv
+        stack (only head/shared params are touched)."""
+        cfg = self.cfg
         num_graphs = batch.num_graphs
         x_graph = masked_segment_mean(
             x, batch.node_graph_idx, num_graphs, batch.node_mask
@@ -368,6 +374,28 @@ class HydraBase(nn.Module):
         if cfg.var_output:
             return outputs, outputs_var
         return outputs
+
+    def embed(self, batch: GraphBatch):
+        """Public embedding hook for staged execution
+        (parallel/pipeline_model.py)."""
+        return self._embedding(batch)
+
+    def embed_and_first_layer(self, batch: GraphBatch):
+        """Embedding + conv layer 0 (the inhomogeneous input layer) — the
+        replicated pipeline prologue (parallel/pipeline_model.py). Norms run
+        in eval mode: pipeline stages do not update running statistics."""
+        inv, equiv, ctx = self._embedding(batch)
+        conv, norm = self.graph_convs[0], self.feature_layers[0]
+        inv, equiv = conv(inv, equiv, batch, ctx, train=False)
+        if norm is not None:
+            inv = norm(inv, batch.node_mask, use_running_average=True)
+        inv = self.activation_function(inv)
+        return inv, equiv, ctx
+
+    def __call__(self, batch: GraphBatch, train: bool = False):
+        inv, equiv, ctx = self._embedding(batch)
+        inv, equiv = self.conv_stack(inv, equiv, batch, ctx, train=train)
+        return self.decode(inv, equiv, batch, ctx, train=train)
 
     def _apply_node_head(self, head, x, equiv, batch, ctx, train):
         if isinstance(head, tuple):  # conv-type head (list of (conv, norm))

@@ -85,6 +85,27 @@ def replicate_batch(batch, mesh: Mesh):
     )
 
 
+def shard_batch_dp(batch, mesh: Mesh, axis: str = "data"):
+    """Commit batch leaves with their LEADING dim sharded over the data
+    axis (real DP x TP layout: each data shard holds its slice of the
+    global batch; GSPMD keeps the step semantically identical to the
+    replicated layout). Leaves whose leading dim does not divide the axis
+    size stay replicated."""
+    dp = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def put(a):
+        if not hasattr(a, "ndim"):
+            return a
+        if a.ndim >= 1 and a.shape[0] % dp == 0 and a.shape[0] >= dp:
+            return jax.device_put(
+                a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+            )
+        return jax.device_put(a, repl)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def tp_fraction_sharded(state: TrainState, mesh: Mesh) -> float:
     """Fraction of parameter bytes actually sharded (sanity probe)."""
     total = sharded = 0

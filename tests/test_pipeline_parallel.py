@@ -118,3 +118,103 @@ def test_pipeline_backward_matches():
                     jax.tree_util.tree_leaves(g_pipe)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_pipelined_hydra_model_matches_sequential():
+    """Full HydraBase (EGNN) staged across a 4-device pipe mesh through the
+    trainer's loss: loss AND all gradients (outer + staged conv layers)
+    equal the single-device definition (VERDICT r2 item 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hydragnn_tpu.graph import GraphSample, collate
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.pipeline import setup_pipe_mesh
+    from hydragnn_tpu.parallel.pipeline_model import (
+        make_pipelined_hydra_loss,
+        merge_conv_params,
+        sequential_microbatch_loss,
+        split_conv_params,
+    )
+    from hydragnn_tpu.train.trainer import stack_batches
+    from tests.test_models_forward import make_cfg
+
+    S, M = 4, 4
+    # 9 conv layers: layer 0 replicated + 8 staged (2 per stage)
+    cfg = make_cfg("EGNN", num_conv_layers=9, hidden_dim=16)
+    model = create_model(cfg)
+
+    rng = np.random.RandomState(0)
+    batches = []
+    for m in range(M):
+        samples = []
+        for _ in range(3):
+            n = rng.randint(6, 11)
+            e = n * 3
+            samples.append(GraphSample(
+                x=rng.randn(n, 1).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=np.stack([
+                    rng.randint(0, n, e), rng.randint(0, n, e)
+                ]).astype(np.int64),
+                y_graph=rng.randn(1).astype(np.float32),
+            ))
+        batches.append(collate(samples, n_node_pad=48, n_edge_pad=128))
+    micro = stack_batches(batches)
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(
+            lambda a: a[0] if hasattr(a, "ndim") and a.ndim else a, micro
+        ),
+        train=False,
+    )["params"]
+    outer, stacked = split_conv_params(params, S)
+    # round-trip sanity
+    merged = merge_conv_params(outer, stacked)
+    for k in params:
+        np.testing.assert_array_equal(
+            jax.tree_util.tree_leaves(merged[k])[0],
+            jax.tree_util.tree_leaves(params[k])[0],
+        )
+
+    mesh = setup_pipe_mesh(S, jax.devices()[:S])
+    pipe_loss = make_pipelined_hydra_loss(model, cfg, mesh, S, M)
+
+    l_pipe, (g_outer, g_stacked) = jax.value_and_grad(
+        pipe_loss, argnums=(0, 1)
+    )(outer, stacked, micro)
+
+    def seq_loss(p):
+        return sequential_microbatch_loss(model, cfg, p, micro, M)
+
+    l_seq, g_seq = jax.value_and_grad(seq_loss)(params)
+
+    np.testing.assert_allclose(float(l_pipe), float(l_seq), rtol=1e-5)
+    # outer grads (embedding + conv_0 + heads)
+    for k, g in g_outer.items():
+        ref = g_seq[k]
+        for (pa, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g),
+            jax.tree_util.tree_leaves(ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+                err_msg=f"{k}{jax.tree_util.keystr(pa)}",
+            )
+    # staged conv grads: stacked [S, k] slice (s, j) == conv_{1 + s*k + j}
+    k_per = 8 // S
+    for s in range(S):
+        for j in range(k_per):
+            layer_g = jax.tree_util.tree_map(lambda a: a[s, j], g_stacked)
+            ref = g_seq[f"conv_{1 + s * k_per + j}"]
+            for (pa, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(layer_g["conv"]),
+                jax.tree_util.tree_leaves(ref),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+                    err_msg=f"conv_{1 + s * k_per + j}"
+                            f"{jax.tree_util.keystr(pa)}",
+                )

@@ -84,3 +84,26 @@ def test_tp_pure_model_mesh():
                         jax.random.PRNGKey(2))
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
     assert float(loss2) < float(loss1)
+
+
+def test_composed_data_branch_model_matches_dp():
+    """3-D mesh (data x branch x model): composed step's loss equals the
+    plain-DP definition on the same global batch (asserted inside the
+    dryrun helper) — VERDICT r2 item 5."""
+    import jax
+
+    import __graft_entry__ as ge
+
+    loss = ge._dryrun_composed(8, jax.devices()[:8])
+    assert np.isfinite(loss)
+
+
+def test_tp_dryrun_shards_real_dp_batches():
+    """DP x TP with the batch sharded over data equals the replicated
+    layout (asserted inside the dryrun helper)."""
+    import jax
+
+    import __graft_entry__ as ge
+
+    loss = ge._dryrun_tensor_parallel(8, jax.devices()[:8])
+    assert np.isfinite(loss)
