@@ -70,6 +70,7 @@ class GraphLoader:
         node_multiple: int = 64,
         edge_multiple: int = 128,
         node_slot: Optional[int] = None,
+        edge_slot: Optional[int] = None,
         dense_adjacency: bool = False,
         num_samples: Optional[int] = None,
     ):
@@ -83,11 +84,18 @@ class GraphLoader:
         # > len(dataset) cycles fresh permutations (sampling smaller
         # datasets more often in multi-dataset mixes)
         self.num_samples = num_samples
-        if dense_adjacency and node_slot is None:
+        if (dense_adjacency or edge_slot == "auto") and node_slot is None:
             # smallest 8-multiple slot that fits the largest graph
             worst = max((s.num_nodes for s in self.dataset), default=1)
             node_slot = -(-worst // 8) * 8
+        if edge_slot == "auto":
+            # smallest 128-multiple slot fitting the largest graph's edges
+            # (the fused per-graph-block edge-kernel layout,
+            # ops/pallas_egnn.py)
+            worst_e = max((s.num_edges for s in self.dataset), default=1)
+            edge_slot = -(-worst_e // 128) * 128
         self.node_slot = node_slot
+        self.edge_slot = edge_slot
         self.dense_adjacency = dense_adjacency
 
         sizes = sorted(
@@ -125,9 +133,10 @@ class GraphLoader:
             yield collate(
                 chunk,
                 n_node_pad=(None if self.node_slot else self.n_node_pad),
-                n_edge_pad=self.n_edge_pad,
+                n_edge_pad=(None if self.edge_slot else self.n_edge_pad),
                 n_graph_pad=self.n_graph_pad,
                 node_slot=self.node_slot,
+                edge_slot=self.edge_slot,
                 dense_adjacency=self.dense_adjacency,
             )
 

@@ -159,6 +159,22 @@ def _adjacency_bmm(adj: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
     (fp32-exact) WITHOUT materializing split terms in HBM. Measured v5e,
     G=1024 S=128 F=128: 1.39 ms / 1510 Medges/s vs 1.75 ms for manual
     3-term splits and 1.88 ms for f32-stored A (bench.py --dense)."""
+    # Pallas streamed block-diagonal bmm on TPU: XLA's generic batched-GEMM
+    # schedule leaves ~3x bandwidth on the table for thousands-of-tiny-
+    # matmul shapes (ops/pallas_bmm.py; round-3 retune of the round-1
+    # numbers above)
+    if (
+        jax.default_backend() not in ("cpu", "gpu")
+        and xg.dtype in (jnp.float32, jnp.bfloat16)
+        and xg.shape[-1] % 128 == 0
+        and adj.shape[-1] % 8 == 0
+    ):
+        from hydragnn_tpu.ops.pallas_bmm import bmm_blockdiag
+
+        return bmm_blockdiag(
+            adj if adj.dtype == jnp.bfloat16 else adj.astype(jnp.bfloat16),
+            xg,
+        )
     a16 = adj if adj.dtype == jnp.bfloat16 else adj.astype(jnp.bfloat16)
     dn = (((2,), (1,)), ((0,), (0,)))
     if xg.dtype == jnp.float32:

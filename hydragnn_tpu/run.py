@@ -124,15 +124,29 @@ def run_training(
     trainset, valset, testset = _load_dataset(config)
     config = update_config(config, trainset, valset, testset)
 
+    arch = config["NeuralNetwork"]["Architecture"]
+    training_cfg = config["NeuralNetwork"]["Training"]
+    # EGNN on TPU routes through the fused per-graph-block edge kernel
+    # (ops/pallas_egnn.py) which needs the slotted node+edge collate;
+    # "auto" sizes both slots from the dataset. Override with
+    # Training["edge_slot"] = "off" (or an integer).
+    edge_slot = training_cfg.get("edge_slot", "auto")
+    use_edge_slot = (
+        arch.get("mpnn_type") == "EGNN"
+        and not arch.get("equivariance")
+        and edge_slot != "off"
+    )
     train_loader, val_loader, test_loader = create_dataloaders(
         trainset, valset, testset,
-        batch_size=config["NeuralNetwork"]["Training"]["batch_size"],
+        batch_size=training_cfg["batch_size"],
         # "auto" enables the slotted dense-adjacency collate (fastest
         # aggregation path) for small near-uniform graphs; override with
         # true/false in the config
-        dense_adjacency=config["NeuralNetwork"]["Training"].get(
-            "dense_adjacency", "auto"
+        dense_adjacency=(
+            False if use_edge_slot
+            else training_cfg.get("dense_adjacency", "auto")
         ),
+        edge_slot=edge_slot if use_edge_slot else None,
     )
 
     log_name = get_log_name_config(config)

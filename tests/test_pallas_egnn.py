@@ -228,3 +228,34 @@ def test_egcl_fused_matches_unfused_end_to_end(monkeypatch):
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_run_training_egnn_uses_edge_slot(tmp_path, monkeypatch):
+    """run_training auto-enables the slotted collate for EGNN and the
+    fused kernel path (forced on under interpret mode) trains end-to-end
+    with finite metrics."""
+    import os
+
+    import hydragnn_tpu as hg
+    from hydragnn_tpu.config import load_config
+    from hydragnn_tpu.data.synthetic import deterministic_graph_data
+
+    raw = str(tmp_path / "raw")
+    deterministic_graph_data(raw, number_configurations=30, seed=9)
+    config = load_config(
+        os.path.join(os.path.dirname(__file__), "inputs", "ci.json")
+    )
+    config["NeuralNetwork"]["Architecture"]["mpnn_type"] = "EGNN"
+    config["NeuralNetwork"]["Training"]["num_epoch"] = 2
+    config["NeuralNetwork"]["Training"]["EarlyStopping"] = False
+    config["NeuralNetwork"]["Training"]["Checkpoint"] = False
+    config["Dataset"]["path"] = {"total": raw}
+
+    monkeypatch.setenv("HYDRAGNN_FUSED_EGNN", "1")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model, cfg, full_cfg, state, results = hg.run_training(config)
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(results["test_rmse"][0])
