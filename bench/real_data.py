@@ -233,15 +233,15 @@ def run_md17_format(epochs: int, samples: int):
                 "mpnn_type": "SchNet",
                 "radius": 5.0,
                 "max_neighbours": 8,
-                "hidden_dim": 64,
-                "num_conv_layers": 3,
+                "hidden_dim": 128,
+                "num_conv_layers": 4,
                 "num_gaussians": 32,
-                "num_filters": 64,
+                "num_filters": 128,
                 "num_radial": 8,
                 "envelope_exponent": 5,
                 "output_heads": {
                     "node": {"num_headlayers": 2,
-                             "dim_headlayers": [64, 64], "type": "mlp"}
+                             "dim_headlayers": [128, 128], "type": "mlp"}
                 },
                 "task_weights": [1.0],
             },
@@ -258,7 +258,7 @@ def run_md17_format(epochs: int, samples: int):
                 "perc_train": 0.8,
                 "compute_grad_energy": True,
                 "batch_size": 32,
-                "Optimizer": {"type": "AdamW", "learning_rate": 0.002},
+                "Optimizer": {"type": "AdamW", "learning_rate": 0.003},
             },
         },
     }

@@ -67,6 +67,16 @@ def model_flops_per_step(mpnn_type, H, layers, N, E, bwd_factor=3.0):
         )
     elif mpnn_type == "GIN":
         per_layer = 2 * N * H * H * 2  # two-layer MLP
+    elif mpnn_type == "SchNet":
+        # per layer (models/schnet.py CFConv): lin1 + filter MLP (ng -> H
+        # -> H on edges) + lin2; ng = 10 gaussians in this harness
+        ng = 10
+        per_layer = (
+            2 * N * H * H            # lin1
+            + 2 * E * ng * H         # filter mlp_0
+            + 2 * E * H * H          # filter mlp_1
+            + 2 * N * H * H          # lin2
+        )
     else:
         return None
     fwd = per_layer * layers

@@ -27,8 +27,14 @@ def load_md17_npz(path: str, max_samples: int, radius: float, forces: bool):
     R, z, E = data["R"], data["z"], data["E"].reshape(-1)
     F = data.get("F")
     n = len(z)
-    # standardize energy per the usual MD17 practice
-    E = (E - E.mean()) / max(E.std(), 1e-9)
+    # energy-only training may standardize freely; with forces the E and F
+    # units MUST stay consistent (F = -dE/dpos), so only the mean is
+    # removed — a mismatched per-quantity rescale makes the force target
+    # physically unreachable and caps accuracy
+    if forces and F is not None:
+        E = E - E.mean()
+    else:
+        E = (E - E.mean()) / max(E.std(), 1e-9)
     samples = []
     for t in range(min(len(R), max_samples)):
         pos = R[t].astype(np.float32)
@@ -36,7 +42,7 @@ def load_md17_npz(path: str, max_samples: int, radius: float, forces: bool):
         kw = {}
         if forces and F is not None:
             kw = dict(energy=np.float32(E[t]),
-                      forces=(F[t] / max(np.abs(F).mean(), 1e-9)).astype(np.float32))
+                      forces=F[t].astype(np.float32))
         else:
             kw = dict(y_graph=np.asarray([E[t]], np.float32))
         samples.append(

@@ -54,11 +54,37 @@ class CFConv(nn.Module):
         if self.edge_dim and e_attr is not None:
             rbf = jnp.concatenate([rbf, e_attr], axis=-1)
         C = 0.5 * (jnp.cos(d * math.pi / self.cutoff) + 1.0)
-        h = nn.Dense(self.num_filters, name="mlp_0")(rbf)
-        h = shifted_softplus(h)
-        W = nn.Dense(self.num_filters, name="mlp_1")(h) * C[:, None]
 
+        from hydragnn_tpu.models.egnn import (
+            _DenseParams, _use_fused_edge_kernel,
+        )
+
+        ng = rbf.shape[-1]
+        w0, b0 = _DenseParams(ng, self.num_filters, name="mlp_0")()
+        w1, b1 = _DenseParams(
+            self.num_filters, self.num_filters, name="mlp_1"
+        )()
         x = nn.Dense(self.num_filters, use_bias=False, name="lin1")(inv)
+
+        if (not self.equivariant) and _use_fused_edge_kernel(batch):
+            # whole filter-MLP + gather + multiply + segment-sum chain in
+            # one per-graph-block Pallas kernel (ops/pallas_schnet.py)
+            from hydragnn_tpu.ops.pallas_schnet import schnet_edge_fused
+
+            out = schnet_edge_fused(
+                x, rbf.astype(x.dtype),
+                (C * batch.edge_mask.astype(C.dtype)).astype(x.dtype),
+                w0.astype(x.dtype), b0.astype(x.dtype),
+                w1.astype(x.dtype), b1.astype(x.dtype),
+                batch.senders, batch.receivers,
+                batch.node_slot, batch.edge_slot,
+            )
+            out = nn.Dense(self.out_dim, name="lin2")(out)
+            return out, equiv
+
+        h = rbf.astype(x.dtype) @ w0.astype(x.dtype) + b0.astype(x.dtype)
+        h = shifted_softplus(h)
+        W = (h @ w1.astype(x.dtype) + b1.astype(x.dtype)) * C[:, None]
 
         if self.equivariant:
             hw = nn.Dense(self.num_filters, name="coord_mlp_0")(W)

@@ -126,13 +126,13 @@ def run_training(
 
     arch = config["NeuralNetwork"]["Architecture"]
     training_cfg = config["NeuralNetwork"]["Training"]
-    # EGNN on TPU routes through the fused per-graph-block edge kernel
-    # (ops/pallas_egnn.py) which needs the slotted node+edge collate;
-    # "auto" sizes both slots from the dataset. Override with
-    # Training["edge_slot"] = "off" (or an integer).
+    # EGNN/SchNet on TPU route through the fused per-graph-block edge
+    # kernels (ops/pallas_egnn.py, ops/pallas_schnet.py) which need the
+    # slotted node+edge collate; "auto" sizes both slots from the dataset.
+    # Override with Training["edge_slot"] = "off" (or an integer).
     edge_slot = training_cfg.get("edge_slot", "auto")
     use_edge_slot = (
-        arch.get("mpnn_type") == "EGNN"
+        arch.get("mpnn_type") in ("EGNN", "SchNet")
         and not arch.get("equivariance")
         and edge_slot != "off"
     )

@@ -85,6 +85,15 @@ _SLOW = {
     "test_training_gps_mace.py::test_train_gps_gin",
     "test_training_gps_mace.py::test_train_mace",
     "test_zero.py::test_zero_step_matches_and_shards",
+    # round-3 additions
+    "test_pallas_egnn.py::test_run_training_egnn_uses_edge_slot",
+    "test_pallas_egnn.py::test_egcl_fused_matches_unfused_end_to_end",
+    "test_pallas_egnn.py::test_gradients_match_reference",
+    "test_pipeline_parallel.py::test_pipelined_hydra_model_matches_sequential",
+    "test_tensor_parallel.py::test_composed_data_branch_model_matches_dp",
+    "test_tensor_parallel.py::test_tp_dryrun_shards_real_dp_batches",
+    "test_mace_oracle.py::test_symmetric_product_spans_u_matrix_space",
+    "test_mace_oracle.py::test_symmetric_product_mixed_orders_span",
 }
 
 
