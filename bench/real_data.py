@@ -258,7 +258,7 @@ def run_md17_format(epochs: int, samples: int):
                 "perc_train": 0.8,
                 "compute_grad_energy": True,
                 "batch_size": 32,
-                "Optimizer": {"type": "AdamW", "learning_rate": 0.003},
+                "Optimizer": {"type": "AdamW", "learning_rate": 0.001},
             },
         },
     }
