@@ -111,6 +111,33 @@ def measure_giant() -> dict:
         r = loop(arg, bc)
         float(np.asarray(r[1])[-1])
         dt = min(dt, (time.perf_counter() - t0) / iters)
+
+    # training-path figure: bf16 x, single MXU pass (what mixed-precision
+    # training actually runs; the headline above stays fp32-exact)
+    x16 = x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def loop16(v, b):
+        def body(v, _):
+            out = bcsr_spmm(v, b, 1)
+            return (
+                v * (np.float32(1.0) + out[0, 0].astype(jnp.float32)
+                     * np.float32(1e-38)).astype(v.dtype),
+                out[0, 0],
+            )
+
+        return jax.lax.scan(body, v, None, length=iters)
+
+    r = loop16(x16, bc)
+    float(np.asarray(r[1])[-1])
+    dt16 = float("inf")
+    for t in range(3):
+        arg = (x * np.float32(1.0 + (t + 1) * 1e-7)).astype(jnp.bfloat16)
+        jax.block_until_ready(arg)
+        t0 = time.perf_counter()
+        r = loop16(arg, bc)
+        float(np.asarray(r[1])[-1])
+        dt16 = min(dt16, (time.perf_counter() - t0) / iters)
     bw = hbm_bandwidth_bytes(jax.devices()[0])
     # TWO traffic models, reported side by side (round-2 VERDICT asked for
     # the reconciliation): `roof` is the IDEAL gather+scatter formulation's
@@ -142,6 +169,8 @@ def measure_giant() -> dict:
         ),
         "giant_graph_ms": round(dt * 1e3, 3),
         "giant_graph_medges_per_s": round(e / dt / 1e6, 1),
+        "giant_graph_bf16_ms": round(dt16 * 1e3, 3),
+        "giant_graph_bf16_medges_per_s": round(e / dt16 / 1e6, 1),
     }
 
 

@@ -54,7 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 512  # output rows per tile (v5e sweet spot, bench/giant_graph r2)
-CHUNK = 128  # sender columns per tile
+CHUNK = 256  # sender columns per tile (r3 sweep: 2.41 ms vs 2.62 ms at 128
+# on the 131k/1M lattice — fewer tiles amortize per-tile control/DMA)
 X_PASSES = 3  # bf16 mantissa terms for fp32 x (3 = exact)
 F_TILE_MAX = 512  # widest feature tile per grid step (VMEM bound)
 
