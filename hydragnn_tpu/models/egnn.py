@@ -45,13 +45,36 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+_SECOND_ORDER = False  # set by the trainer around force-training traces
+
+
+class fused_kernels_disabled:
+    """Trace-time guard: the fused edge kernels' custom VJPs are first-
+    order only, so energy-force training (grad-of-grad, trainer
+    ``compute_grad_energy``) must trace the unfused XLA path. The trainer
+    wraps its force loss in this context; the flag is consulted while
+    tracing, so jitted programs bake the right path in."""
+
+    def __enter__(self):
+        global _SECOND_ORDER
+        self._prev = _SECOND_ORDER
+        _SECOND_ORDER = True
+
+    def __exit__(self, *exc):
+        global _SECOND_ORDER
+        _SECOND_ORDER = self._prev
+
+
 def _use_fused_edge_kernel(batch: GraphBatch) -> bool:
     """Fused per-graph-block edge-chain kernel (ops/pallas_egnn.py):
     requires the slotted collate layout; TPU-only unless forced
     (HYDRAGNN_FUSED_EGNN=1 enables under interpret mode for tests;
-    =0 disables)."""
+    =0 disables). Always off inside second-order (force-training) traces
+    — see fused_kernels_disabled."""
     import os
 
+    if _SECOND_ORDER:
+        return False
     flag = os.getenv("HYDRAGNN_FUSED_EGNN", "auto")
     if flag == "0":
         return False

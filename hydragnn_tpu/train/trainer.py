@@ -154,9 +154,15 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
             )
             return jnp.sum(ge), (pred, new_stats)
 
-        (_, (pred, new_stats)), dE_dpos = jax.value_and_grad(
-            graph_energy_of_pos, has_aux=True
-        )(batch.pos)
+        # second-order trace (force grads differentiate through the inner
+        # pos-grad): the fused Pallas custom-VJP kernels are first-order
+        # only, so bake the unfused XLA path into this trace
+        from hydragnn_tpu.models.egnn import fused_kernels_disabled
+
+        with fused_kernels_disabled():
+            (_, (pred, new_stats)), dE_dpos = jax.value_and_grad(
+                graph_energy_of_pos, has_aux=True
+            )(batch.pos)
         forces_pred = -dE_dpos
         loss, tasks = energy_force_loss(cfg, pred[0], forces_pred, batch)
         return loss, (tasks, pred, new_stats)

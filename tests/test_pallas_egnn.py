@@ -259,3 +259,53 @@ def test_run_training_egnn_uses_edge_slot(tmp_path, monkeypatch):
     finally:
         os.chdir(cwd)
     assert np.isfinite(results["test_rmse"][0])
+
+
+def test_force_training_falls_back_to_unfused(monkeypatch):
+    """Energy-force training (grad-of-grad) on a SLOTTED batch must trace
+    the unfused path — the fused custom VJP is first-order only; the
+    trainer's fused_kernels_disabled guard handles it transparently."""
+    from hydragnn_tpu.graph import GraphSample, collate
+    from hydragnn_tpu.models.arch import ArchConfig, BranchConfig
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.optimizer import select_optimizer
+    from hydragnn_tpu.train.trainer import init_state, make_loss_fn
+
+    monkeypatch.setenv("HYDRAGNN_FUSED_EGNN", "1")
+    rng = np.random.RandomState(0)
+    samples = []
+    for _ in range(3):
+        n, e = 8, 24
+        samples.append(GraphSample(
+            x=rng.randn(n, 1).astype(np.float32),
+            pos=rng.randn(n, 3).astype(np.float32),
+            edge_index=np.stack([
+                rng.randint(0, n, e), rng.randint(0, n, e)
+            ]).astype(np.int64),
+            energy=np.float32(rng.randn()),
+            forces=rng.randn(n, 3).astype(np.float32),
+        ))
+    batch = collate(samples, node_slot=16, edge_slot=128)
+    cfg = ArchConfig(
+        mpnn_type="EGNN", input_dim=1, hidden_dim=16, output_dim=(1,),
+        output_type=("node",), graph_branches=(),
+        node_branches=(
+            BranchConfig("branch-0", 0, 0, 2, (16, 16),
+                         head_nn_type="mlp"),
+        ),
+        num_conv_layers=2, num_nodes=8, max_neighbours=4,
+    )
+    model = create_model(cfg)
+    opt = select_optimizer(
+        {"Optimizer": {"type": "AdamW", "learning_rate": 1e-3}}
+    )
+    state = init_state(model, batch, opt)
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy=True)
+    (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats, batch, jax.random.PRNGKey(0), True
+    )
+    assert np.isfinite(float(l))
+    assert all(
+        np.all(np.isfinite(np.asarray(x)))
+        for x in jax.tree_util.tree_leaves(g)
+    )
