@@ -87,7 +87,8 @@ def eval_energy_forces(model, cfg, state, loader):
     }
 
 
-def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN"):
+def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN",
+           model_neighbors: int = 20, model_radius: float = 2.6):
     from lennard_jones import make_dataset
 
     from hydragnn_tpu.config import update_config
@@ -96,7 +97,12 @@ def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN"):
     from hydragnn_tpu.models.create import create_model
     from hydragnn_tpu.train.trainer import train_validate_test
 
-    dataset = make_dataset(n_configs=configs)
+    # physics-complete model graph: the LJ cutoff is 2.5 (absolute), so
+    # every interacting pair must be an edge or force accuracy is capped
+    dataset = make_dataset(
+        n_configs=configs, model_neighbors=model_neighbors,
+        model_radius=model_radius,
+    )
     train, val, test = split_dataset(dataset, 0.8)
     config = {
         "Verbosity": {"level": 0},
@@ -104,7 +110,7 @@ def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN"):
             "Architecture": {
                 "mpnn_type": mpnn_type,
                 "radius": 5.0,
-                "max_neighbours": 8,
+                "max_neighbours": model_neighbors,
                 "hidden_dim": 64,
                 "num_conv_layers": 3,
                 "num_gaussians": 32,
@@ -149,6 +155,7 @@ def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN"):
         "run": f"LennardJones_{mpnn_type}_energy_force",
         "configs": configs,
         "epochs": epochs,
+        "model_graph": f"{model_neighbors}nn_r{model_radius}",
         **{k: round(v, 6) for k, v in metrics.items()},
         "energy_rel_mae": round(
             metrics["energy_mae"] / max(metrics["energy_mean_abs"], 1e-12), 4

@@ -50,8 +50,13 @@ def lj_energy_forces(pos, cell, cutoff):
     return energy, forces, per_atom_energy, edge_index, shifts
 
 
-def make_dataset(n_configs=300, uc=3, a=1.679, cutoff=2.5, jitter=0.02, seed=17):
-    """Perturbed FCC argon-like supercells (ref: LJ_data.py:268-380)."""
+def make_dataset(n_configs=300, uc=3, a=1.679, cutoff=2.5, jitter=0.1,
+                 seed=17, model_neighbors=5, model_radius=5.0):
+    """Perturbed FCC argon-like supercells (ref: LJ_data.py:268-380).
+
+    ``jitter`` is the reference's relative_maximum_atomic_displacement
+    (LJ_data.py:79,218 = 0.1): each coordinate displaces uniformly by
+    +-jitter/2 of the lattice constant."""
     rng = np.random.RandomState(seed)
     base = np.array(
         [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
@@ -64,14 +69,18 @@ def make_dataset(n_configs=300, uc=3, a=1.679, cutoff=2.5, jitter=0.02, seed=17)
                 for k in range(uc):
                     pts.append((base + np.array([i, j, k])) * a)
         pos = np.concatenate(pts, axis=0)
-        pos = pos + rng.randn(*pos.shape) * jitter * a
+        pos = pos + rng.uniform(-jitter / 2, jitter / 2, pos.shape) * a
         cell = np.eye(3) * (uc * a)
         energy, forces, node_e, _, _ = lj_energy_forces(pos, cell, cutoff)
-        # model graph: 5 nearest neighbors (ref: LJ.json max_neighbours=5 —
-        # low degree keeps EGNN's sum aggregation well-scaled), separate from
-        # the physics cutoff used for the LJ targets above
+        # model graph: default 5 nearest neighbors (ref: LJ.json
+        # max_neighbours=5 — low degree keeps EGNN's sum aggregation
+        # well-scaled), separate from the physics cutoff used for the LJ
+        # targets above. For force-accuracy runs pass model_neighbors high
+        # enough to cover every pair inside the physics cutoff
+        # (bench/real_data.py) — a truncated graph caps learnable force
+        # accuracy.
         edge_index, shifts = radius_graph_pbc(
-            pos, cell, 5.0, max_num_neighbors=5
+            pos, cell, model_radius, max_num_neighbors=model_neighbors
         )
         n = pos.shape[0]
         # per-atom scaling keeps the extensive energy O(1) so fp32 training is

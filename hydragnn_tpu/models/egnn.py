@@ -102,6 +102,9 @@ class E_GCL(nn.Module):
             # computed once for all layers by EGCLStack._embedding
             diff_hat, radial = ctx["egnn_geometry"]
         else:
+            # equivariant (positional-update) mode matches the reference:
+            # shifts unsupported once coordinates move
+            # (ref: EGCLStack.py:275-279 zeroed edge_shifts)
             diff_hat, radial = get_edge_vectors_and_lengths(
                 equiv, s, r, normalize=True, eps=1.0,
                 edge_mask=batch.edge_mask,
@@ -222,10 +225,16 @@ class EGCLStack(HydraBase):
         inv, equiv, ctx = super()._embedding(batch)
         if not self.cfg.equivariance:
             # no coordinate updates: edge geometry is layer-invariant, so
-            # compute the [E,3]/[E,1] gathers + norm ONCE for all layers
+            # compute the [E,3]/[E,1] gathers + norm ONCE for all layers.
+            # PBC shifts apply here — positions are static, so cross-
+            # boundary distances are exact (the reference zeroes shifts for
+            # this stack even in the static case, EGCLStack.py:113-115;
+            # beyond-parity correctness for PBC datasets like the LJ
+            # example)
             ctx = dict(ctx)
             ctx["egnn_geometry"] = get_edge_vectors_and_lengths(
-                equiv, batch.senders, batch.receivers, normalize=True,
+                equiv, batch.senders, batch.receivers,
+                shifts=batch.edge_shifts, normalize=True,
                 eps=1.0, edge_mask=batch.edge_mask,
             )
         return inv, equiv, ctx

@@ -43,10 +43,15 @@ class CFConv(nn.Module):
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
         s, r = batch.senders, batch.receivers
         N = inv.shape[0]
-        # distances from current positions (zero shifts; pbc shifts are not
-        # supported in positional-update models, ref: SCFStack.py:170-173)
+        # PBC shifts apply in the static (non-equivariant) mode: positions
+        # never move, so cross-boundary distances are exact. The reference
+        # zeroes shifts for this stack unconditionally ("not supported in
+        # positional-update models", SCFStack.py:166-173); with coordinate
+        # updates ON we match that (shifts would go stale once pos moves).
         diff_hat, lengths = get_edge_vectors_and_lengths(
-            equiv, s, r, normalize=True, eps=1.0, edge_mask=batch.edge_mask
+            equiv, s, r,
+            shifts=None if self.equivariant else batch.edge_shifts,
+            normalize=True, eps=1.0, edge_mask=batch.edge_mask,
         )
         d = lengths[:, 0]
         rbf = gaussian_smearing(d, 0.0, self.cutoff, self.num_gaussians)

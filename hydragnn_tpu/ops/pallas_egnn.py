@@ -349,7 +349,11 @@ def egnn_edge_fused(
     assert G * S == N and G * Eg == E, (N, S, E, Eg)
     Hp = _round_up(H, LANES)
     if edge_tile is None:
-        edge_tile = min(Eg, 512)
+        import os
+
+        edge_tile = min(
+            Eg, int(os.getenv("HYDRAGNN_FUSED_EDGE_TILE", "512"))
+        )
     while Eg % edge_tile:
         edge_tile //= 2
     dt = pre_s.dtype

@@ -203,7 +203,12 @@ def test_force_equivariance(lj_data):
         Q[:, 0] = -Q[:, 0]
 
     f1 = np.asarray(predicted_forces(model, cfg, state, batch))
-    b2 = batch.replace(pos=batch.pos @ jnp.asarray(Q.T))
+    # rotating a periodic structure rotates its cell too: the Cartesian
+    # PBC shift vectors transform with the same Q as the positions
+    b2 = batch.replace(
+        pos=batch.pos @ jnp.asarray(Q.T),
+        edge_shifts=batch.edge_shifts @ jnp.asarray(Q.T),
+    )
     f2 = np.asarray(predicted_forces(model, cfg, state, b2))
     m = np.asarray(batch.node_mask)
     np.testing.assert_allclose(f2[m], f1[m] @ Q.T, rtol=1e-3, atol=1e-4)
