@@ -33,6 +33,8 @@ def main():
     p.add_argument("--deg", type=int, default=16)
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="slotted collate + fused Pallas edge kernel")
     args = p.parse_args()
 
     import jax
@@ -66,7 +68,8 @@ def main():
         num_filters=args.hidden,
     )
     model = create_model(cfg)
-    batch = build_batch(args.graphs, args.nodes, args.deg, seed=0)
+    batch = build_batch(args.graphs, args.nodes, args.deg, seed=0,
+                        slotted=args.fused)
     E = batch.senders.shape[0]
     opt = select_optimizer({"Optimizer": {"type": "AdamW",
                                           "learning_rate": 1e-3}})

@@ -176,9 +176,18 @@ def run_prediction(
     predictions."""
     if test_loader is None:
         trainset, valset, testset = _load_dataset(config)
+        arch = config["NeuralNetwork"]["Architecture"]
+        training_cfg = config["NeuralNetwork"]["Training"]
+        edge_slot = training_cfg.get("edge_slot", "auto")
+        use_edge_slot = (
+            arch.get("mpnn_type") in ("EGNN", "SchNet")
+            and not arch.get("equivariance")
+            and edge_slot != "off"
+        )
         _, _, test_loader = create_dataloaders(
             trainset, valset, testset,
-            batch_size=config["NeuralNetwork"]["Training"]["batch_size"],
+            batch_size=training_cfg["batch_size"],
+            edge_slot=edge_slot if use_edge_slot else None,
         )
     eval_step = make_eval_step(model, cfg)
     metrics = evaluate(test_loader, state, eval_step, cfg)
