@@ -103,14 +103,15 @@ def measure_giant() -> dict:
 
     r = loop(x, bc)
     float(np.asarray(r[1])[-1])  # warm + flush (completion barrier)
-    dt = float("inf")
+    giant_dts = []
     for t in range(3):
         arg = x * np.float32(1.0 + (t + 1) * 1e-7)
         jax.block_until_ready(arg)
         t0 = time.perf_counter()
         r = loop(arg, bc)
         float(np.asarray(r[1])[-1])
-        dt = min(dt, (time.perf_counter() - t0) / iters)
+        giant_dts.append((time.perf_counter() - t0) / iters)
+    dt = min(giant_dts)
 
     # training-path figure: bf16 x, single MXU pass (what mixed-precision
     # training actually runs; the headline above stays fp32-exact)
@@ -171,6 +172,9 @@ def measure_giant() -> dict:
         "giant_graph_medges_per_s": round(e / dt / 1e6, 1),
         "giant_graph_bf16_ms": round(dt16 * 1e3, 3),
         "giant_graph_bf16_medges_per_s": round(e / dt16 / 1e6, 1),
+        "giant_graph_n_trials": len(giant_dts),
+        "giant_graph_trial_ms": [round(d * 1e3, 3) for d in giant_dts],
+        "giant_graph_stdev_ms": round(float(np.std(giant_dts)) * 1e3, 3),
     }
 
 
@@ -259,14 +263,15 @@ def measure(path: str) -> dict:
     float(np.asarray(r[1])[-1])  # warm + flush: block_until_ready through
     # the tunnel is NOT a completion barrier — only a host FETCH is
     # (bench/results/device_calibration_r2.md methodology)
-    dt = float("inf")
+    trial_dts = []
     for trial in range(3):
         arg = xd * np.float32(1.0000001 + trial * 1e-7)
         jax.block_until_ready(arg)
         t0 = time.perf_counter()
         xf, probe = spmm_loop(arg)
         float(np.asarray(probe)[-1])
-        dt = min(dt, (time.perf_counter() - t0) / iters)
+        trial_dts.append((time.perf_counter() - t0) / iters)
+    dt = min(trial_dts)
 
     edges_per_s = E / dt
     bytes_moved = E * F * 4 + N * F * 4 + E * 8
@@ -280,6 +285,13 @@ def measure(path: str) -> dict:
             (bytes_moved / MEASURED_BW) / dt, 4
         ),
         "batched_ms": round(dt * 1e3, 3),
+        # run-to-run variance made machine-readable: headline = min of
+        # n_trials; drift vs a previous round within ~3 stdev is device/
+        # tunnel attachment noise, not a regression (round-2/3 lesson:
+        # the same program measured 1.34 -> 1.68 ms across re-attachments)
+        "n_trials": len(trial_dts),
+        "trial_ms": [round(d * 1e3, 3) for d in trial_dts],
+        "stdev_ms": round(float(np.std(trial_dts)) * 1e3, 3),
         # vs_baseline denominates the measured time by a FIXED formula
         # (the gather+scatter formulation's mandatory bytes at the v5e
         # spec bandwidth), so run-to-run movement reflects the device/
@@ -363,6 +375,9 @@ def main():
         )
     if ts:
         result["train_step_ms"] = ts.get("ms_per_step")
+        result["train_step_n_trials"] = ts.get("n_trials")
+        result["train_step_trial_ms"] = ts.get("trial_ms_per_step")
+        result["train_step_stdev_ms"] = ts.get("stdev_ms_per_step")
         result["train_step_mfu"] = ts.get("mfu_vs_spec_peak")
         result["train_step_mfu_vs_measured_peak"] = ts.get(
             "mfu_vs_measured_peak"

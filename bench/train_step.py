@@ -153,6 +153,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     best = float("inf")
+    trial_dts = []
     losses = None
     salt = 0
     for trial in range(args.trials + 1):  # +1: first is compile+warm
@@ -167,6 +168,7 @@ def main():
               flush=True)
         if trial > 0:
             best = min(best, dt)
+            trial_dts.append(dt)
 
     # MFU numerator: ANALYTIC model FLOPs (fwd matmuls x3 for fwd+bwd;
     # optimizer/elementwise excluded) — the honest numerator for "model
@@ -198,6 +200,9 @@ def main():
 
         print(json.dumps({
             "ms_per_step": round(best * 1e3, 3),
+            "n_trials": len(trial_dts),
+            "trial_ms_per_step": [round(d * 1e3, 3) for d in trial_dts],
+            "stdev_ms_per_step": round(float(np.std(trial_dts)) * 1e3, 3),
             "medges_per_s": round(E / best / 1e6, 2),
             "flops_per_step": flops_step,
             "xla_cost_flops_per_step": xla_flops_per_step,

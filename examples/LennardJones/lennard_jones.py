@@ -31,7 +31,12 @@ SIGMA = 1.0
 def lj_energy_forces(pos, cell, cutoff):
     """Total LJ energy + per-atom forces with PBC minimum-image via the
     radius graph (pair potential truncated at cutoff)."""
-    edge_index, shifts = radius_graph_pbc(pos, cell, cutoff, max_num_neighbors=64)
+    # ensure_connected=False: this graph DEFINES the physics labels — the
+    # connectivity repair (cutoff growth / artificial edges) applies only
+    # to MODEL graphs, never to target generation (it would silently
+    # change the LJ energy/forces beyond the declared physics cutoff)
+    edge_index, shifts = radius_graph_pbc(pos, cell, cutoff, max_num_neighbors=64,
+                                          ensure_connected=False)
     src, dst = edge_index
     vec = pos[dst] - pos[src] + shifts
     d = np.linalg.norm(vec, axis=1)

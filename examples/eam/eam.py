@@ -65,9 +65,10 @@ def eam_energy_forces(zs, pos, cell):
     """Surrogate EAM: E_i = sum_j phi(r_ij)/2 - sqrt(rho_i); analytic forces."""
     from hydragnn_tpu.data.neighbors import radius_graph_pbc
 
+    # ensure_connected=False: physics-label graph (see LennardJones note)
     ei, shifts = radius_graph_pbc(
         pos.astype(np.float32), cell.astype(np.float32), CUT,
-        max_num_neighbors=48,
+        max_num_neighbors=48, ensure_connected=False,
     )
     s, r = ei
     d = pos[r] - pos[s] + shifts  # Cartesian shifts (data/neighbors.py:85-103)

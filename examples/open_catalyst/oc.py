@@ -46,9 +46,11 @@ SIG = {29: 2.3, 6: 1.5, 8: 1.4}
 def pair_energy_forces(zs, pos, cell):
     """LJ with species-mixed parameters under PBC; returns per-atom energy,
     total energy, forces."""
+    # ensure_connected=False: physics-label graph (see LennardJones note)
     ei, shifts = radius_graph_pbc(
         pos.astype(np.float32), cell.astype(np.float32), CUTOFF,
         max_num_neighbors=24, pbc=(True, True, False),
+        ensure_connected=False,
     )
     s, r = ei
     # radius_graph_pbc returns CARTESIAN shifts with vec = pos[recv] -

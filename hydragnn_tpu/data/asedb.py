@@ -65,9 +65,16 @@ def read_ase_sqlite(
             elif positions:
                 # positions are always float64 xyz triplets: 24 bytes/atom
                 n = len(positions) // 24
+            elif forces:
+                # definitive: forces are always float64 xyz triplets
+                # (24 bytes/atom) — disambiguates the numbers dtype exactly
+                # (the blob-size heuristic below misreads an int32 blob with
+                # an even atom count as int64, halving the count)
+                n = len(forces) // 24
             else:
-                # ASE on 64-bit Linux stores numbers as int64; older dumps
-                # (and our writer) use int32 — disambiguate by blob size
+                # last resort. ASE on 64-bit Linux stores numbers as int64;
+                # older dumps (and our writer, which always records natoms)
+                # use int32 — disambiguate by blob size
                 n = (
                     0 if not numbers
                     else len(numbers) // 8 if len(numbers) % 8 == 0

@@ -229,7 +229,18 @@ def create_dataloaders(
         edge_multiple=kwargs.pop("edge_multiple", 128),
         dense_adjacency=kwargs.pop("dense_adjacency", False),
         node_slot=kwargs.pop("node_slot", None),
+        edge_slot=kwargs.pop("edge_slot", None),
     )
+    if common["edge_slot"] == "auto":
+        # resolve auto slots ONCE from the union of splits: per-loader
+        # resolution would give train/val/test different slot sizes (and so
+        # different padded shapes), one recompile per loader — defeating the
+        # shared worst-case-capacity probe below
+        if common["node_slot"] is None:
+            worst = max((s.num_nodes for s in all_samples), default=1)
+            common["node_slot"] = -(-worst // 8) * 8
+        worst_e = max((s.num_edges for s in all_samples), default=1)
+        common["edge_slot"] = -(-worst_e // 128) * 128
     if common["dense_adjacency"] == "auto":
         # slotted dense-adjacency collate is the fastest aggregation form on
         # TPU for batches of small near-uniform graphs (one batched MXU bmm,

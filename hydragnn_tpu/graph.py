@@ -91,6 +91,11 @@ class GraphBatch:
     # GATHER by the inverse instead of an unsorted scatter (~2 ms/op on v5e
     # at E=131k — one per conv layer in sender-aggregating stacks)
     edge_perm_by_sender_inv: Optional[jnp.ndarray] = None  # [E] int32
+    # permutation sorting edges by RECEIVER — only set when receivers are
+    # NOT already globally sorted (edge-slotted collate); lets gather_dst /
+    # gather_src_dst keep a sorted backward scatter (None = identity,
+    # receivers already sorted)
+    edge_perm_by_receiver: Optional[jnp.ndarray] = None  # [E] int32
     # dense block-diagonal adjacency [G, S, S] (collate(node_slot=S,
     # dense_adjacency=True)): A[g, i, j] = multiplicity of edge j->i in
     # graph g's slot-local indices. Turns raw-neighbor aggregation into a
@@ -109,6 +114,14 @@ class GraphBatch:
     # a graph's group, not globally — ops that assume global sortedness must
     # check this field.
     edge_slot: Optional[int] = struct.field(pytree_node=False, default=None)
+    # True iff ``receivers`` is GLOBALLY non-decreasing (the default
+    # receiver-sorted collate). False for edge-slotted batches (sorted only
+    # within each graph's slot — padding edges at each slot tail point at
+    # node N-1) and for collate(sort_edges_by_receiver=False). Aggregations
+    # into receivers MUST pass this as ``indices_are_sorted`` — the sorted
+    # fast path (Pallas CSR kernel / XLA sorted scatter) silently mis-sums
+    # on unsorted ids.
+    edges_receiver_sorted: bool = struct.field(pytree_node=False, default=True)
     # STATIC fused-SpMM sender-window hint (ops/pallas_spmm.required_window,
     # set by collate): smallest verified cascade width covering every edge
     # tile's endpoint span in BOTH edge directions (fwd receiver-sorted, bwd
@@ -159,10 +172,14 @@ class GraphBatch:
         return gather_nodes(x, self.senders, self.edge_perm_by_sender)
 
     def gather_dst(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x[receivers]; receivers are collate-sorted, backward is sorted."""
+        """x[receivers] with a sorted backward scatter. For the default
+        collate receivers are already sorted (identity perm); edge-slotted
+        batches carry ``edge_perm_by_receiver`` so the backward stays a
+        SORTED segment reduction (the sorted fast path silently mis-sums on
+        unsorted ids)."""
         from hydragnn_tpu.ops.spmm import gather_nodes
 
-        return gather_nodes(x, self.receivers, None)
+        return gather_nodes(x, self.receivers, self.edge_perm_by_receiver)
 
     def gather_src_dst(self, x: jnp.ndarray):
         """(x[senders], x[receivers]) with a single merged backward
@@ -170,7 +187,8 @@ class GraphBatch:
         from hydragnn_tpu.ops.spmm import gather_src_dst
 
         return gather_src_dst(
-            x, self.senders, self.receivers, self.edge_perm_by_sender
+            x, self.senders, self.receivers, self.edge_perm_by_sender,
+            perm_r=self.edge_perm_by_receiver,
         )
 
 
@@ -414,6 +432,10 @@ def collate(
     perm_by_sender_inv[perm_by_sender] = np.arange(
         perm_by_sender.shape[0], dtype=np.int32
     )
+    edges_sorted = sort_edges_by_receiver and edge_slot is None
+    perm_by_receiver = (
+        None if edges_sorted else np.argsort(receivers).astype(np.int32)
+    )
 
     spmm_window = None
     if sort_edges_by_receiver and tot_e > 0 and edge_slot is None:
@@ -458,7 +480,8 @@ def collate(
         edge_perm_by_sender=perm_by_sender,
         edge_perm_by_sender_inv=perm_by_sender_inv,
     )
-    for name, arr in (("edge_attr", edge_attr), ("graph_y", graph_y),
+    for name, arr in (("edge_perm_by_receiver", perm_by_receiver),
+                      ("edge_attr", edge_attr), ("graph_y", graph_y),
                       ("node_y", node_y), ("energy", energy),
                       ("forces", forces), ("pe", pe), ("rel_pe", rel_pe),
                       ("adjacency", adjacency)):
@@ -468,6 +491,8 @@ def collate(
     return GraphBatch(
         node_slot=node_slot,
         edge_slot=edge_slot,
+        edges_receiver_sorted=edges_sorted,
+        edge_perm_by_receiver=dev.get("edge_perm_by_receiver"),
         spmm_window=spmm_window,
         bcsr=bcsr,
         edge_attr=dev.get("edge_attr"),

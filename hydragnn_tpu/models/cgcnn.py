@@ -33,7 +33,8 @@ class CGConv(nn.Module):
         gate = jax.nn.sigmoid(nn.Dense(self.channels, name="lin_f")(z))
         core = jax.nn.softplus(nn.Dense(self.channels, name="lin_s")(z))
         msg = gate * core * batch.edge_mask[:, None].astype(inv.dtype)
-        agg = segment_sum(msg, batch.receivers, inv.shape[0])
+        agg = segment_sum(msg, batch.receivers, inv.shape[0],
+                          indices_are_sorted=batch.edges_receiver_sorted)
         return inv + agg, equiv
 
 

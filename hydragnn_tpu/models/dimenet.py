@@ -121,11 +121,13 @@ class OutputPPBlock(nn.Module):
     num_layers: int = 1
 
     @nn.compact
-    def __call__(self, x_edge, rbf, receivers, num_nodes, edge_mask):
+    def __call__(self, x_edge, rbf, receivers, num_nodes, edge_mask,
+                 receivers_sorted: bool = True):
         g = nn.Dense(self.hidden, use_bias=False, name="lin_rbf")(rbf)
         x = g * x_edge
         x = x * edge_mask[:, None].astype(x.dtype)
-        x = segment_sum(x, receivers, num_nodes, indices_are_sorted=True)
+        x = segment_sum(x, receivers, num_nodes,
+                        indices_are_sorted=receivers_sorted)
         x = nn.Dense(self.out_emb, use_bias=False, name="lin_up")(x)
         for i in range(self.num_layers):
             x = jax.nn.silu(nn.Dense(self.out_emb, name=f"lin_{i}")(x))
@@ -166,7 +168,8 @@ class DimeConv(nn.Module):
         )(x1, rbf, sbf, trip)
         out = OutputPPBlock(
             n_rad, self.hidden, out_emb, self.out_dim, name="output",
-        )(x2, rbf, r, inv.shape[0], batch.edge_mask)
+        )(x2, rbf, r, inv.shape[0], batch.edge_mask,
+          receivers_sorted=batch.edges_receiver_sorted)
         return out, equiv
 
 

@@ -65,15 +65,24 @@ class fused_kernels_disabled:
         _SECOND_ORDER = self._prev
 
 
-def _use_fused_edge_kernel(batch: GraphBatch) -> bool:
+def _use_fused_edge_kernel(
+    batch: GraphBatch, second_order_ok: bool = False
+) -> bool:
     """Fused per-graph-block edge-chain kernel (ops/pallas_egnn.py):
     requires the slotted collate layout; TPU-only unless forced
     (HYDRAGNN_FUSED_EGNN=1 enables under interpret mode for tests;
-    =0 disables). Always off inside second-order (force-training) traces
-    — see fused_kernels_disabled."""
+    =0 disables). Inside second-order (force-training) traces — see
+    fused_kernels_disabled — only kernels that declare
+    ``second_order_ok`` (a differentiable custom-VJP backward, e.g. the
+    EGNN chain's second-order kernel) stay fused; others fall back to
+    the unfused XLA path. HYDRAGNN_FUSED_SECOND_ORDER=0 forces the
+    fallback for all (A/B + debugging)."""
     import os
 
-    if _SECOND_ORDER:
+    if _SECOND_ORDER and not (
+        second_order_ok
+        and os.getenv("HYDRAGNN_FUSED_SECOND_ORDER", "1") != "0"
+    ):
         return False
     flag = os.getenv("HYDRAGNN_FUSED_EGNN", "auto")
     if flag == "0":
@@ -140,7 +149,9 @@ class E_GCL(nn.Module):
         )()
         geom_feats = jnp.concatenate(geom_parts, axis=-1)
 
-        fused = (not self.equivariant) and _use_fused_edge_kernel(batch)
+        fused = (not self.equivariant) and _use_fused_edge_kernel(
+            batch, second_order_ok=True
+        )
         if fused:
             # whole edge chain (gathers -> edge MLP -> relu -> mask ->
             # segment-sum-by-sender) in one per-graph-block Pallas kernel;

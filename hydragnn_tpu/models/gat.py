@@ -76,7 +76,8 @@ class GATv2Conv(nn.Module):
             # per-node mean
             z_self = x_l + x_r
             if lin_edge is not None and e_attr is not None:
-                fill = segment_mean(e_attr, r, N, mask=batch.edge_mask)
+                fill = segment_mean(e_attr, r, N, mask=batch.edge_mask,
+                                    indices_are_sorted=batch.edges_receiver_sorted)
                 z_self = z_self + lin_edge(fill).reshape(N, H, C)
             z_self = jax.nn.leaky_relu(z_self, self.negative_slope)
             logits_self = jnp.sum(z_self * att, axis=-1)  # [N, H]
@@ -85,13 +86,17 @@ class GATv2Conv(nn.Module):
             neg = jnp.finfo(inv.dtype).min
             logits = jnp.where(batch.edge_mask[:, None], logits, neg)
             m_edges = jax.ops.segment_max(
-                logits, r, N, indices_are_sorted=True
+                logits, r, N,
+                indices_are_sorted=batch.edges_receiver_sorted,
             )
             m = jnp.maximum(m_edges, logits_self)
             m = jnp.where(jnp.isfinite(m), m, 0.0)
             exp_e = jnp.exp(logits - m[r]) * batch.edge_mask[:, None]
             exp_s = jnp.exp(logits_self - m)
-            denom = segment_sum(exp_e, r, N) + exp_s
+            denom = segment_sum(
+                exp_e, r, N,
+                indices_are_sorted=batch.edges_receiver_sorted,
+            ) + exp_s
             alpha_e = exp_e / jnp.maximum(denom[r], 1e-16)
             alpha_s = exp_s / jnp.maximum(denom, 1e-16)
             if self.dropout > 0.0 and train:
@@ -106,7 +111,10 @@ class GATv2Conv(nn.Module):
             # scatter)
             msgs = batch.gather_src(x_l.reshape(N, H * C)).reshape(-1, H, C)
             msgs = (alpha_e[..., None] * msgs).reshape(-1, H * C)
-            out = segment_sum(msgs, r, N).reshape(N, H, C)
+            out = segment_sum(
+                msgs, r, N,
+                indices_are_sorted=batch.edges_receiver_sorted,
+            ).reshape(N, H, C)
             out = out + alpha_s[..., None] * x_l
 
         if self.concat:

@@ -33,6 +33,7 @@ class GINConv(nn.Module):
             gp=batch.gp,
             bcsr=batch.bcsr,
             window_hint=batch.spmm_window,
+            edges_receiver_sorted=batch.edges_receiver_sorted,
         )
         h = (1.0 + eps) * inv + agg
         h = nn.Dense(self.out_dim, name="mlp_0")(h)

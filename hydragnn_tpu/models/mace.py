@@ -165,7 +165,8 @@ class InteractionBlock(nn.Module):
         )(aug)
         mji = tp(batch.gather_src(h_up), edge_attrs, tp_w)
         mji = mji * batch.edge_mask[:, None].astype(mji.dtype)
-        message = segment_sum(mji, r, node_feats.shape[0])
+        message = segment_sum(mji, r, node_feats.shape[0],
+                              indices_are_sorted=batch.edges_receiver_sorted)
         message = IrrepsLinear(
             tp.irreps_mid.simplify(), self.target_irreps, name="linear"
         )(message) / self.avg_num_neighbors

@@ -41,8 +41,10 @@ class MFConv(nn.Module):
             gp=batch.gp,
             bcsr=batch.bcsr,
             window_hint=batch.spmm_window,
+            edges_receiver_sorted=batch.edges_receiver_sorted,
         )
-        deg = degree(batch.receivers, inv.shape[0], mask=batch.edge_mask)
+        deg = degree(batch.receivers, inv.shape[0], mask=batch.edge_mask,
+                     indices_are_sorted=batch.edges_receiver_sorted)
         d = jnp.minimum(deg.astype(jnp.int32), self.max_degree)
 
         def body(acc, args):

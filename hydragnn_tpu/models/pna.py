@@ -79,16 +79,17 @@ class PNAConv(nn.Module):
 
         m = batch.edge_mask
         r = batch.receivers
+        srt = batch.edges_receiver_sorted
         aggs = [
-            segment_mean(h, r, N, mask=m),
-            segment_min(h, r, N, mask=m),
-            segment_max(h, r, N, mask=m),
-            segment_std(h, r, N, mask=m),
+            segment_mean(h, r, N, mask=m, indices_are_sorted=srt),
+            segment_min(h, r, N, mask=m, indices_are_sorted=srt),
+            segment_max(h, r, N, mask=m, indices_are_sorted=srt),
+            segment_std(h, r, N, mask=m, indices_are_sorted=srt),
         ]
         out = jnp.concatenate(aggs, axis=-1)
 
         avg_lin, avg_log = deg_stats(self.deg_hist)
-        d = jnp.maximum(degree(r, N, mask=m), 1.0)[:, None]
+        d = jnp.maximum(degree(r, N, mask=m, indices_are_sorted=srt), 1.0)[:, None]
         logd = jnp.log(d + 1.0)
         scaled = [
             out,

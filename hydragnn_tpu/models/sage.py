@@ -27,6 +27,7 @@ class SAGEConv(nn.Module):
             gp=batch.gp,
             bcsr=batch.bcsr,
             window_hint=batch.spmm_window,
+            edges_receiver_sorted=batch.edges_receiver_sorted,
         )
         h = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(
             self.out_dim, use_bias=False, name="lin_r"

@@ -108,7 +108,12 @@ class CFConv(nn.Module):
 
         msg = batch.gather_src(x) * W
         msg = msg * batch.edge_mask[:, None].astype(msg.dtype)
-        out = segment_sum(msg, r, N)
+        # edge-slotted batches (the fused-kernel collate, auto-enabled by
+        # run_training) are receiver-sorted only per slot — the sorted CSR
+        # fast path would silently mis-aggregate here, and this unfused path
+        # is exactly what runs inside force-training (second-order) traces
+        out = segment_sum(msg, r, N,
+                          indices_are_sorted=batch.edges_receiver_sorted)
         out = nn.Dense(self.out_dim, name="lin2")(out)
         return out, equiv
 

@@ -132,6 +132,173 @@ def _fwd_kernel(
     agg_ref[:] += part
 
 
+def _bwd2_kernel(
+    s_ref, r_ref, geo_ref, pre_s_ref, pre_d_ref, wg_ref, w1_ref, b1_ref,
+    u_ref,        # [S, Hp] dagg (the first-order cotangent seed, f32)
+    vps_ref,      # [S, Hp] cotangent of dpre_s (f32)
+    vpd_ref,      # [S, Hp] cotangent of dpre_d
+    vgeo_ref,     # [ET, GD] cotangent of dgeo
+    vwg_ref,      # [GD, Hp] cotangent of dwg
+    vw1_ref,      # [Hp, Hp] cotangent of dw1
+    vb1_ref,      # [1, Hp] cotangent of db1
+    cps_ref,      # [S, Hp] f32 out: cotangent of pre_s (acc over k)
+    cpd_ref,      # [S, Hp] f32 out: cotangent of pre_d
+    cgeo_ref,     # [ET, GD] f32 out: cotangent of geom
+    cwg_ref,      # [GD, Hp] f32 out: cotangent of wg (acc over all)
+    cw1_ref,      # [Hp, Hp] f32 out: cotangent of w1 (acc over all)
+    cu_ref,       # [S, Hp] f32 out: cotangent of dagg (acc over k)
+    *,
+    S: int,
+    ET: int,
+    GD: int,
+):
+    """VJP of the backward map B (``_bwd_kernel``) — the second-order kernel
+    that makes the fused chain differentiable under grad-of-grad (energy-
+    force training). ReLU gates are a.e.-constant, so this equals XLA's own
+    reverse-over-reverse of the unfused chain exactly (relu'' = 0 a.e.;
+    b1's cotangent is identically 0 since b1 enters B only through gates).
+
+    Adjoint algebra (per chunk; OHs/OHr the [S, ET] one-hot match matrices,
+    G1 = [z0>0], G2 = [z2>0], dz2/dz0 the recomputed first-order adjoints):
+      a_dz0 = OHs^T vps + OHr^T vpd + vgeo wg + geo vwg
+      a_dm1 = G1 . a_dz0
+      a_dz2 = a_dm1 w1 + m1 vw1 + 1 vb1
+      a_dm2 = G2 . a_dz2          ->  c_u   = OHs a_dm2
+      c_w1  = a_dm1^T dz2
+      c_m1  = dz2 vw1^T;  c_z0 = G1 . c_m1
+      c_ps  = OHs c_z0;  c_pd = OHr c_z0
+      c_geo = c_z0 wg^T + dz0 vwg^T
+      c_wg  = geo^T c_z0 + vgeo^T dz0
+    """
+    g = pl.program_id(0)
+    k = pl.program_id(1)
+    dt = pre_s_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sub = ET // LANES
+    oh_s = _onehot(_chunk_ids(s_ref, k, sub), S, g * S, ET, dt)
+    oh_r = _onehot(_chunk_ids(r_ref, k, sub), S, g * S, ET, dt)
+    cdims = (((0,), (0,)), ((), ()))
+    scatter = (((1,), (0,)), ((), ()))
+
+    # ---- recompute the forward chunk (z0 gates, m1, z2 gates)
+    z0 = jax.lax.dot_general(
+        oh_s, pre_s_ref[:], cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    ) + jax.lax.dot_general(
+        oh_r, pre_d_ref[:], cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    geo = geo_ref[:].astype(jnp.float32)
+    for d in range(GD):
+        z0 = z0 + geo[:, d : d + 1] * wg_ref[d : d + 1, :].astype(
+            jnp.float32
+        )
+    m1 = jnp.maximum(z0, 0.0).astype(dt)
+    z2 = (
+        jnp.dot(m1, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
+        + b1_ref[:].astype(jnp.float32)
+    )
+
+    # ---- recompute the first-order adjoints dz2, dz0 (needed as VALUES)
+    dm2 = jax.lax.dot_general(
+        oh_s, u_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dz2 = jnp.where(z2 > 0.0, dm2, 0.0).astype(dt)
+    dm1 = jax.lax.dot_general(
+        dz2, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dz0 = jnp.where(z0 > 0.0, dm1, 0.0).astype(dt)
+
+    # ---- adjoints of the backward map
+    a_dz0 = jax.lax.dot_general(
+        oh_s, vps_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + jax.lax.dot_general(
+        oh_r, vpd_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    vgeo = vgeo_ref[:].astype(jnp.float32)
+    for d in range(GD):
+        a_dz0 = a_dz0 + vgeo[:, d : d + 1] * wg_ref[d : d + 1, :].astype(
+            jnp.float32
+        )
+        a_dz0 = a_dz0 + geo[:, d : d + 1] * vwg_ref[d : d + 1, :].astype(
+            jnp.float32
+        )
+    a_dm1 = jnp.where(z0 > 0.0, a_dz0, 0.0).astype(dt)
+    a_dz2 = (
+        jnp.dot(a_dm1, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
+        + jnp.dot(m1, vw1_ref[:], preferred_element_type=jnp.float32,
+                  precision=prec)
+        + vb1_ref[:].astype(jnp.float32)
+    )
+    a_dm2 = jnp.where(z2 > 0.0, a_dz2, 0.0).astype(dt)
+    cu = jax.lax.dot_general(
+        oh_s, a_dm2, scatter, preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [S, Hp]
+
+    cw1_part = jax.lax.dot_general(
+        a_dm1, dz2, cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [Hp, Hp]
+    cm1 = jax.lax.dot_general(
+        dz2, vw1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    cz0 = jnp.where(z0 > 0.0, cm1, 0.0).astype(dt)
+    cps = jax.lax.dot_general(
+        oh_s, cz0, scatter, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    cpd = jax.lax.dot_general(
+        oh_r, cz0, scatter, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    cz0f = cz0.astype(jnp.float32)
+    dz0f = dz0.astype(jnp.float32)
+    cgeo_cols = [
+        jnp.sum(cz0f * wg_ref[d : d + 1, :].astype(jnp.float32), axis=1,
+                keepdims=True)
+        + jnp.sum(dz0f * vwg_ref[d : d + 1, :].astype(jnp.float32), axis=1,
+                  keepdims=True)
+        for d in range(GD)
+    ]
+    cgeo_ref[:] = jnp.concatenate(cgeo_cols, axis=1)
+    cwg_part = jax.lax.dot_general(
+        geo.astype(dt), cz0, cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    ) + jax.lax.dot_general(
+        vgeo.astype(dt), dz0, cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+    first = jnp.logical_and(g == 0, k == 0)
+
+    @pl.when(k == 0)
+    def _():
+        cps_ref[:] = jnp.zeros_like(cps_ref)
+        cpd_ref[:] = jnp.zeros_like(cpd_ref)
+        cu_ref[:] = jnp.zeros_like(cu_ref)
+
+    cps_ref[:] += cps
+    cpd_ref[:] += cpd
+    cu_ref[:] += cu
+
+    @pl.when(first)
+    def _():
+        cw1_ref[:] = jnp.zeros_like(cw1_ref)
+        cwg_ref[:] = jnp.zeros_like(cwg_ref)
+
+    cw1_ref[:] += cw1_part
+    cwg_ref[:] += cwg_part
+
+
 def _bwd_kernel(
     s_ref, r_ref, geo_ref, pre_s_ref, pre_d_ref, wg_ref, w1_ref, b1_ref,
     dagg_ref,     # [S, Hp] cotangent of agg (f32)
@@ -299,19 +466,100 @@ def _make_core(G: int, S: int, Eg: int, ET: int, Hp: int, GD: int):
         ),
     )
 
+    bwd2_call = pl.pallas_call(
+        functools.partial(_bwd2_kernel, S=S, ET=ET, GD=GD),
+        grid=(G, K),
+        in_specs=[idx_spec, idx_spec, geo_spec, node_spec, node_spec,
+                  wg_spec, w1_spec, b1_spec,
+                  pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),   # u (dagg)
+                  pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),   # vps
+                  pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),   # vpd
+                  geo_spec,                                      # vgeo
+                  wg_spec,                                       # vwg
+                  w1_spec,                                       # vw1
+                  b1_spec],                                      # vb1
+        out_specs=[
+            pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),  # c_pre_s
+            pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),  # c_pre_d
+            geo_spec,                                     # c_geom
+            wg_spec,                                      # c_wg
+            w1_spec,                                      # c_w1
+            pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),  # c_dagg
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G * S, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((G * S, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((G * Eg, GD), jnp.float32),
+            jax.ShapeDtypeStruct((GD, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((G * S, Hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * G * Eg * Hp * (Hp + 2 * S),
+            bytes_accessed=G * (9 * S * Hp + 3 * Eg * GD) * 4
+            + 4 * Hp * Hp * 4,
+            transcendentals=0,
+        ),
+    )
+
+    # The backward map B is ITSELF a differentiable op: grad-of-grad
+    # (energy-force training differentiates the inner pos-VJP w.r.t.
+    # params) reverse-differentiates B, which routes through B's own
+    # custom VJP = the second-order kernel above. Same composition
+    # pattern as ops/spmm.py's gather/segment custom VJPs.
+    @jax.custom_vjp
+    def bwd_op(pre_s, pre_d, geom, w1, b1, wg, dagg, s2d, r2d):
+        return bwd_call(s2d, r2d, geom, pre_s, pre_d, wg, w1, b1, dagg)
+
+    def bwd_op_fwd(pre_s, pre_d, geom, w1, b1, wg, dagg, s2d, r2d):
+        # NOTE: deliberately re-enter the custom_vjp-wrapped bwd_op (not
+        # the raw bwd_call): under an outer AD trace the fwd rule's body is
+        # traced with that trace's tracers, and only the custom_vjp wrapper
+        # keeps the pallas_call out of forward-mode (pallas kernels using
+        # program_id cannot be jvp'd)
+        out = bwd_op(pre_s, pre_d, geom, w1, b1, wg, dagg, s2d, r2d)
+        return out, (pre_s, pre_d, geom, w1, b1, wg, dagg, s2d, r2d)
+
+    def bwd_op_bwd(res, cots):
+        pre_s, pre_d, geom, w1, b1, wg, dagg, s2d, r2d = res
+        vps, vpd, vgeo, vwg, vw1, vb1 = cots
+        dt = pre_s.dtype
+        cps, cpd, cgeo, cwg, cw1, cu = bwd2_call(
+            s2d, r2d, geom, pre_s, pre_d, wg, w1, b1,
+            dagg.astype(jnp.float32),
+            vps.astype(jnp.float32), vpd.astype(jnp.float32),
+            vgeo.astype(jnp.float32), vwg.astype(jnp.float32),
+            vw1.astype(jnp.float32), vb1.astype(jnp.float32),
+        )
+        return (
+            cps.astype(dt), cpd.astype(dt), cgeo.astype(geom.dtype),
+            cw1.astype(w1.dtype),
+            # b1 enters B only through the z2 gates -> 0 a.e. (equals
+            # XLA's relu second-order treatment)
+            jnp.zeros_like(b1),
+            cwg.astype(wg.dtype), cu.astype(jnp.float32), None, None,
+        )
+
+    bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
+
     @jax.custom_vjp
     def core(pre_s, pre_d, geom, w1, b1, wg, s2d, r2d):
         return fwd_call(s2d, r2d, geom, pre_s, pre_d, wg, w1, b1)
 
     def core_fwd(pre_s, pre_d, geom, w1, b1, wg, s2d, r2d):
-        out = fwd_call(s2d, r2d, geom, pre_s, pre_d, wg, w1, b1)
+        # re-enter core (see bwd_op_fwd note): keeps the pallas_call
+        # custom_vjp-protected when an outer AD trace replays this fwd rule
+        out = core(pre_s, pre_d, geom, w1, b1, wg, s2d, r2d)
         return out, (pre_s, pre_d, geom, w1, b1, wg, s2d, r2d)
 
     def core_bwd(res, dagg):
         pre_s, pre_d, geom, w1, b1, wg, s2d, r2d = res
-        dps, dpd, dgeo, dwg, dw1, db1 = bwd_call(
-            s2d, r2d, geom, pre_s, pre_d, wg, w1, b1,
-            dagg.astype(jnp.float32),
+        dps, dpd, dgeo, dwg, dw1, db1 = bwd_op(
+            pre_s, pre_d, geom, w1, b1, wg, dagg.astype(jnp.float32),
+            s2d, r2d,
         )
         dt = pre_s.dtype
         return (

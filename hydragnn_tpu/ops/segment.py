@@ -308,6 +308,7 @@ def gather_scatter_sum(
     gp: Optional[tuple] = None,
     window_hint: Optional[int] = None,
     bcsr=None,
+    edges_receiver_sorted: bool = True,
 ) -> jnp.ndarray:
     """SpMM: out[r] += w_e * x[s].
 
@@ -371,7 +372,10 @@ def gather_scatter_sum(
             return bcsr_spmm(node_feat, bcsr)
     from hydragnn_tpu.ops.pallas_spmm import spmm_fused_auto
 
-    fused = spmm_fused_auto(
+    # fused kernel + sorted-CSR segment path both require GLOBALLY
+    # receiver-sorted edges (GraphBatch.edges_receiver_sorted; False for
+    # edge-slotted / unsorted collates)
+    fused = None if not edges_receiver_sorted else spmm_fused_auto(
         node_feat, senders, receivers, num_nodes,
         weights=edge_weight if edge_weight is not None and edge_weight.ndim == 1 else None,
         edge_mask=edge_mask,
@@ -392,7 +396,8 @@ def gather_scatter_sum(
         msg = msg * edge_mask.astype(msg.dtype).reshape(
             (-1,) + (1,) * (msg.ndim - 1)
         )
-    return segment_sum(msg, receivers, num_nodes)
+    return segment_sum(msg, receivers, num_nodes,
+                       indices_are_sorted=edges_receiver_sorted)
 
 
 def gather_scatter_mean(
@@ -406,6 +411,7 @@ def gather_scatter_mean(
     gp: Optional[tuple] = None,
     window_hint: Optional[int] = None,
     bcsr=None,
+    edges_receiver_sorted: bool = True,
 ) -> jnp.ndarray:
     """Mean-aggregated SpMM: gather_scatter_sum / in-degree (fused-kernel
     eligible, unlike gathering then segment_mean)."""
@@ -413,8 +419,10 @@ def gather_scatter_mean(
         node_feat, senders, receivers, num_nodes,
         edge_mask=edge_mask, perm_by_sender=perm_by_sender,
         adjacency=adjacency, gp=gp, window_hint=window_hint, bcsr=bcsr,
+        edges_receiver_sorted=edges_receiver_sorted,
     )
-    cnt = degree(receivers, num_nodes, edge_mask)
+    cnt = degree(receivers, num_nodes, edge_mask,
+                 indices_are_sorted=edges_receiver_sorted)
     cnt = jnp.maximum(cnt, 1.0).reshape(
         (-1,) + (1,) * (node_feat.ndim - 1)
     )

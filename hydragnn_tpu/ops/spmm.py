@@ -169,6 +169,7 @@ def gather_src_dst(
     senders: jnp.ndarray,
     receivers: jnp.ndarray,
     perm: Optional[jnp.ndarray] = None,
+    perm_r: Optional[jnp.ndarray] = None,
 ):
     """(x[senders], x[receivers]) with the two backward scatters merged into
     one sorted segment reduction over 2N virtual segments — halves the
@@ -181,8 +182,11 @@ def gather_src_dst(
     h866 bf16 70 -> 140 ms/step when merged onto the XLA path)."""
     if perm is None:
         return x[senders], x[receivers]
+    # the merged 2n-segment reduction requires receivers globally ascending;
+    # edge-slotted batches (perm_r set) use two separately-sorted backwards
     merged_ok = (
-        x.ndim == 2
+        perm_r is None
+        and x.ndim == 2
         and x.shape[-1] % 128 == 0
         and x.dtype in (jnp.float32, jnp.bfloat16)
         and jax.default_backend() not in ("cpu", "gpu")
@@ -190,6 +194,6 @@ def gather_src_dst(
     if not merged_ok:
         return (
             gather_nodes(x, senders, perm),
-            gather_nodes(x, receivers, None),
+            gather_nodes(x, receivers, perm_r),
         )
     return _gather_src_dst(x, senders, receivers, perm)

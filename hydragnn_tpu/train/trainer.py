@@ -140,6 +140,47 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
     def loss_fn(params, batch_stats, batch, rng, train: bool):
         rngs = {"dropout": rng} if train else None
 
+        # Trace-time choice of the second-order structure. The fused
+        # edge-chain kernels (ops/pallas_egnn.py) now carry a second-order
+        # custom VJP, so force training keeps them — but ONLY under the
+        # two-pass structure: the energy-loss forward must be a separate
+        # custom-VJP call, not ride the aux of the inner pos-grad.
+        # Aux-passing pred through value_and_grad makes the outer grad
+        # differentiate the inner trace in FORWARD mode (jvp), which
+        # Pallas kernels using program_id cannot lower. When no fused
+        # kernel is eligible (no slotted layout / CPU), keep the
+        # single-forward aux structure — it saves a forward pass.
+        from hydragnn_tpu.models.egnn import (
+            _use_fused_edge_kernel, fused_kernels_disabled,
+        )
+
+        with fused_kernels_disabled():
+            # probe with the second-order flag set: True only when a
+            # kernel family declares a differentiable backward
+            two_pass = _use_fused_edge_kernel(batch, second_order_ok=True)
+
+        if two_pass:
+
+            def graph_energy_of_pos(pos):
+                b = batch.replace(pos=pos)
+                pred, _ = _forward(model, params, batch_stats, b, train, rngs)
+                node_e = pred[0]
+                ge = segment_sum(
+                    node_e[:, 0] * b.node_mask.astype(node_e.dtype),
+                    b.node_graph_idx,
+                    b.num_graphs,
+                )
+                return jnp.sum(ge)
+
+            with fused_kernels_disabled():
+                dE_dpos = jax.grad(graph_energy_of_pos)(batch.pos)
+            pred, new_stats = _forward(
+                model, params, batch_stats, batch, train, rngs
+            )
+            forces_pred = -dE_dpos
+            loss, tasks = energy_force_loss(cfg, pred[0], forces_pred, batch)
+            return loss, (tasks, pred, new_stats)
+
         def graph_energy_of_pos(pos):
             b = batch.replace(pos=pos)
             # single forward per step: the mutated batch_stats ride the aux
@@ -155,10 +196,8 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
             return jnp.sum(ge), (pred, new_stats)
 
         # second-order trace (force grads differentiate through the inner
-        # pos-grad): the fused Pallas custom-VJP kernels are first-order
-        # only, so bake the unfused XLA path into this trace
-        from hydragnn_tpu.models.egnn import fused_kernels_disabled
-
+        # pos-grad): kernels without a second-order VJP bake the unfused
+        # XLA path into this trace
         with fused_kernels_disabled():
             (_, (pred, new_stats)), dE_dpos = jax.value_and_grad(
                 graph_energy_of_pos, has_aux=True
@@ -560,11 +599,17 @@ def train_validate_test(
             startfrom if _os.path.isdir(startfrom)
             else _os.path.join("./logs", startfrom)
         )
-        epoch_env = _os.getenv("HYDRAGNN_EPOCH")
-        state = load_checkpoint(
-            ckpt_path, state,
-            epoch=int(epoch_env) if epoch_env is not None else None,
-        )
+        # resume-epoch selection: explicit Training["restart_epoch"] or the
+        # dedicated HYDRAGNN_RESTART_EPOCH env var. Deliberately NOT
+        # HYDRAGNN_EPOCH — the loop exports that every epoch as a progress
+        # signal, so a prior train_validate_test call in the same process
+        # (HPO sweep, back-to-back runs) would leave a stale value and a
+        # continue run would silently load that old epoch's checkpoint.
+        restart = training.get("restart_epoch")
+        if restart is None:
+            env = _os.getenv("HYDRAGNN_RESTART_EPOCH")
+            restart = int(env) if env is not None else None
+        state = load_checkpoint(ckpt_path, state, epoch=restart)
 
     mixed_precision = str(training.get("mixed_precision", "")).lower() in (
         "bf16", "bfloat16", "true", "1"

@@ -261,10 +261,12 @@ def test_run_training_egnn_uses_edge_slot(tmp_path, monkeypatch):
     assert np.isfinite(results["test_rmse"][0])
 
 
-def test_force_training_falls_back_to_unfused(monkeypatch):
-    """Energy-force training (grad-of-grad) on a SLOTTED batch must trace
-    the unfused path — the fused custom VJP is first-order only; the
-    trainer's fused_kernels_disabled guard handles it transparently."""
+def test_force_training_uses_fused_second_order(monkeypatch):
+    """Energy-force training (grad-of-grad) on a SLOTTED batch traces the
+    FUSED path end-to-end: the edge-chain kernel's backward is itself a
+    custom-VJP op with a second-order kernel (ops/pallas_egnn._bwd2_kernel),
+    and the trainer's two-pass force-loss structure keeps the outer grad in
+    reverse mode throughout. Loss + grads must be finite."""
     from hydragnn_tpu.graph import GraphSample, collate
     from hydragnn_tpu.models.arch import ArchConfig, BranchConfig
     from hydragnn_tpu.models.create import create_model
@@ -309,3 +311,62 @@ def test_force_training_falls_back_to_unfused(monkeypatch):
         np.all(np.isfinite(np.asarray(x)))
         for x in jax.tree_util.tree_leaves(g)
     )
+
+
+@pytest.mark.parametrize("H", [64, 40])
+def test_second_order_grad_of_grad_matches_reference(H):
+    """Energy-force-training structure: inner grad w.r.t. geom (the
+    pos-dependent input), outer grad of a force-MSE w.r.t. everything else.
+    The fused path must reproduce XLA's reverse-over-reverse exactly
+    (ReLU gates a.e.-constant on both sides)."""
+    (pre_s, pre_d, geom, w1, b1, wg, senders, receivers,
+     real_edge, node_real) = _workload(G=3, S=16, Eg=128, H=H, GD=1,
+                                       frac_pad=0.25, seed=5)
+    N = pre_s.shape[0]
+    S, Eg = 16, 128
+    rng = np.random.RandomState(7)
+    w_down = rng.randn(N, H).astype(np.float32) * node_real[:, None]
+    f_tgt = rng.randn(*geom.shape).astype(np.float32)
+
+    def make_fns(use_fused):
+        def energy(geom_, ps, pd, w1_, b1_, wg_):
+            if use_fused:
+                agg = egnn_edge_fused(
+                    ps, pd, geom_, w1_, b1_, wg_,
+                    jnp.asarray(senders), jnp.asarray(receivers), S, Eg,
+                )
+            else:
+                agg = egnn_edge_reference(
+                    ps, pd, geom_, w1_, b1_, wg_,
+                    jnp.asarray(senders), jnp.asarray(receivers), N,
+                )
+            return jnp.sum(agg * w_down)
+
+        def loss(ps, pd, w1_, b1_, wg_):
+            force = jax.grad(energy, argnums=0)(geom, ps, pd, w1_, b1_, wg_)
+            return jnp.sum((force - f_tgt) ** 2) + energy(
+                geom, ps, pd, w1_, b1_, wg_
+            )
+
+        return energy, loss
+
+    outs = {}
+    for name, use_fused in (("ref", False), ("fused", True)):
+        energy, loss = make_fns(use_fused)
+        inner = jax.grad(energy, argnums=0)(geom, pre_s, pre_d, w1, b1, wg)
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+            pre_s, pre_d, w1, b1, wg
+        )
+        outs[name] = (np.asarray(inner), float(val),
+                      [np.asarray(g) for g in grads])
+
+    np.testing.assert_allclose(
+        outs["fused"][0], outs["ref"][0], rtol=2e-5, atol=2e-5,
+        err_msg="inner (force) grad mismatch",
+    )
+    np.testing.assert_allclose(outs["fused"][1], outs["ref"][1], rtol=2e-5)
+    for i, arg in enumerate(["pre_s", "pre_d", "w1", "b1", "wg"]):
+        np.testing.assert_allclose(
+            outs["fused"][2][i], outs["ref"][2][i], rtol=5e-5, atol=5e-5,
+            err_msg=f"outer grad mismatch for {arg}",
+        )

@@ -80,6 +80,48 @@ def test_resume_reproduces_uninterrupted(tmp_path):
         os.chdir(cwd)
 
 
+def test_continue_ignores_stale_epoch_env(tmp_path):
+    """A prior run in the same process leaves HYDRAGNN_EPOCH exported (the
+    loop writes it every epoch as a progress signal). A continue run must
+    NOT read it back as the checkpoint selector — it would silently load
+    that stale epoch instead of the latest state. Resume-epoch selection is
+    Training["restart_epoch"] / HYDRAGNN_RESTART_EPOCH only."""
+    raw = str(tmp_path / "raw")
+    deterministic_graph_data(raw, number_configurations=30, seed=9)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg_a = _base_config(raw)
+        cfg_a["NeuralNetwork"]["Training"]["num_epoch"] = 3
+        model, cfg, full_cfg, state_a, res_a = hg.run_training(
+            cfg_a, chosen_seed=21
+        )
+        from hydragnn_tpu.config import get_log_name_config
+
+        log_name = get_log_name_config(full_cfg)
+
+        # simulate the stale export of an earlier epoch in this process
+        os.environ["HYDRAGNN_EPOCH"] = "0"
+        cfg_b = _base_config(raw)
+        tr_b = cfg_b["NeuralNetwork"]["Training"]
+        tr_b["num_epoch"] = 3
+        tr_b["epoch_start"] = 3  # pure load + test
+        tr_b["continue"] = 1
+        tr_b["startfrom"] = log_name
+        *_, state_b, res_b = hg.run_training(cfg_b, chosen_seed=999)
+
+        np.testing.assert_allclose(
+            np.asarray(res_a["test_rmse"]),
+            np.asarray(res_b["test_rmse"]),
+            rtol=1e-5,
+            err_msg="continue run loaded a stale-epoch checkpoint",
+        )
+    finally:
+        os.environ.pop("HYDRAGNN_EPOCH", None)
+        os.chdir(cwd)
+
+
 def test_continue_loads_exact_state(tmp_path):
     """Loading via continue must restore the trained params exactly:
     a resumed run with 0 further epochs predicts identically to the saved

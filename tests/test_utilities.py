@@ -51,6 +51,40 @@ def test_timer_accumulates():
     assert Timer("phase").elapsed >= 0.009
 
 
+def test_timer_distributed_reduction(monkeypatch, capsys):
+    """MIN/MAX/AVG across processes (ref: time_utils.py:95-138). Multi-host
+    is simulated by faking process_count + the allgather result."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from hydragnn_tpu.utils import time_utils as tu
+
+    tu.reset_timers()
+    t = tu.Timer("train")
+    t.elapsed = 2.0  # this process's cumulative total
+
+    # single-process: no reduction
+    assert tu.reduce_timers() is None
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda vals: np.stack([np.asarray(vals) + d
+                               for d in (0.0, 1.0, 2.0, 3.0)]),
+    )
+    stats = tu.reduce_timers()
+    assert stats == {
+        "train": {"min": 2.0, "max": 5.0, "avg": 3.5}
+    }
+    tu.print_timers()
+    out = capsys.readouterr().out
+    assert "Min timers" in out and "Max timers" in out and "Avg timers" in out
+    assert "3.5000s" in out
+    tu.reset_timers()
+
+
 def test_print_verbosity_policy(capsys):
     from hydragnn_tpu.utils.print_utils import print_distributed
 
@@ -221,8 +255,12 @@ def test_model_based_search_beats_random_on_synthetic():
             + (np.log2(t["batch_size"]) - 5) ** 2
         )
 
+    # deterministic tier: serial execution — with max_workers > 1 the
+    # surrogate's training history depends on thread completion ORDER, so
+    # the tight accuracy bound was order/load-sensitive (flaky under the
+    # full suite, green in isolation)
     best_cfg, best_val, trials = model_based_search(
-        base, objective, n_trials=24, seed=0, n_init=6, max_workers=2
+        base, objective, n_trials=24, seed=0, n_init=6, max_workers=1
     )
     assert len(trials) == 24
     _, rnd_val, _ = random_search(base, objective, n_trials=24, seed=0)
@@ -230,6 +268,14 @@ def test_model_based_search_beats_random_on_synthetic():
     # the optimum is reachable in DEFAULT_SPACE; the surrogate should land
     # close (<= ~1.01 == at most one coordinate one notch off)
     assert best_val < 1.1, (best_val, best_cfg)
+
+    # async tier: order-insensitive assertions only (completes the budget,
+    # returns the best of its own trials)
+    a_cfg, a_val, a_trials = model_based_search(
+        base, objective, n_trials=24, seed=0, n_init=6, max_workers=2
+    )
+    assert len(a_trials) == 24
+    assert a_val <= min(v for _, v in a_trials) + 1e-9
 
 
 def test_visualizer_breadth(tmp_path):
