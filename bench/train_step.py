@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build_batch(n_graphs, n, deg, seed, dense_adj=False, slotted=False):
+def build_batch(n_graphs, n, deg, seed, dense_adj=False, slotted=False,
+                forces=False):
     from hydragnn_tpu.graph import GraphSample, collate
 
     rng = np.random.RandomState(seed)
@@ -38,7 +39,11 @@ def build_batch(n_graphs, n, deg, seed, dense_adj=False, slotted=False):
                 x=rng.randn(n, 1).astype(np.float32),
                 pos=rng.randn(n, 3).astype(np.float32),
                 edge_index=np.stack([send, recv]),
-                y_graph=rng.randn(1).astype(np.float32),
+                y_graph=(None if forces
+                         else rng.randn(1).astype(np.float32)),
+                energy=(np.float32(rng.randn()) if forces else None),
+                forces=(rng.randn(n, 3).astype(np.float32)
+                        if forces else None),
             )
         )
     if dense_adj:
@@ -67,6 +72,17 @@ def model_flops_per_step(mpnn_type, H, layers, N, E, bwd_factor=3.0):
         )
     elif mpnn_type == "GIN":
         per_layer = 2 * N * H * H * 2  # two-layer MLP
+    elif mpnn_type == "PAINN":
+        # models/painn.py: scalar MLP (1+3), U/V on the 3-axis vector
+        # channel (3+3), update MLP (2+3), embed-out (1+1) + vec (3)
+        # = 20 N H^2 matmul units; filter Dense on edges (nr=5 harness)
+        nr = 5
+        per_layer = 2 * N * H * H * 20 + 2 * E * nr * 3 * H
+    elif mpnn_type == "PNA":
+        # models/pna.py: pre_nn dst+src (2), post_nn over [inv, 16F
+        # scaled concat] (17), lin (1) = 20 N H^2 (aggregation bmm
+        # excluded per MFU convention)
+        per_layer = 2 * N * H * H * 20
     elif mpnn_type == "SchNet":
         # per layer (models/schnet.py CFConv): lin1 + filter MLP (ng -> H
         # -> H on edges) + lin2; ng = 10 gaussians in this harness
@@ -97,6 +113,9 @@ def main():
     p.add_argument("--dense_adj", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="slotted collate + fused Pallas edge kernel")
+    p.add_argument("--forces", action="store_true",
+                   help="energy-force training step (compute_grad_energy: "
+                        "grad-of-grad through the conv stack)")
     p.add_argument("--json", action="store_true",
                    help="print one JSON result line (for bench.py)")
     args = p.parse_args()
@@ -112,14 +131,23 @@ def main():
         stack_batches,
     )
 
+    # force training predicts per-node energies via a node head
+    # (ref: Base.energy_force_loss + tests/test_forces.py config)
     cfg = ArchConfig(
         mpnn_type=args.mpnn_type,
         input_dim=1,
         hidden_dim=args.hidden,
         output_dim=(1,),
-        output_type=("graph",),
-        graph_branches=(BranchConfig("branch-0", 2, 50, 2, (50, 25)),),
-        node_branches=(),
+        output_type=("node",) if args.forces else ("graph",),
+        graph_branches=(
+            () if args.forces
+            else (BranchConfig("branch-0", 2, 50, 2, (50, 25)),)
+        ),
+        node_branches=(
+            (BranchConfig("branch-0", 0, 0, 2, (50, 25),
+                          head_nn_type="mlp"),)
+            if args.forces else ()
+        ),
         num_conv_layers=args.layers,
         num_nodes=args.nodes,
         max_neighbours=args.deg,
@@ -132,7 +160,8 @@ def main():
     model = create_model(cfg)
     batches = [
         build_batch(args.graphs, args.nodes, args.deg, seed=s,
-                    dense_adj=args.dense_adj, slotted=args.fused)
+                    dense_adj=args.dense_adj, slotted=args.fused,
+                    forces=args.forces)
         for s in range(args.steps)
     ]
     E = batches[0].senders.shape[0]
@@ -148,8 +177,10 @@ def main():
     # (~0.1 ms/step fake numbers). Undonated outputs live in fresh buffers,
     # so feeding each trial's state into the next guarantees fresh handles;
     # folding the previous loss into the rng adds a content-level dependency.
-    epoch = jax.jit(make_scan_train_epoch(model, cfg, opt,
-                                          mixed_precision=args.bf16))
+    epoch = jax.jit(make_scan_train_epoch(
+        model, cfg, opt, compute_grad_energy=args.forces,
+        mixed_precision=args.bf16,
+    ))
     key = jax.random.PRNGKey(0)
 
     best = float("inf")
@@ -182,6 +213,12 @@ def main():
     flops_step = model_flops_per_step(
         args.mpnn_type, args.hidden, args.layers, N, E
     )
+    if args.forces and flops_step:
+        # force training ~= 7/3 of a plain step's matmul FLOPs: plain =
+        # fwd(1) + bwd(2); forces = inner fwd(1) + inner pos-bwd(2) +
+        # standalone fwd(1) + outer reverse over the inner trace (~3).
+        # Approximate — reported MFU for --forces is indicative only.
+        flops_step = int(flops_step * 7 / 3)
     mfu_spec = flops_step / best / 197e12 if flops_step else None
     mfu_meas = flops_step / best / 115e12 if flops_step else None
     xla_flops_per_step = None
@@ -214,7 +251,8 @@ def main():
             ),
             "shape": f"{args.mpnn_type} h{args.hidden} L{args.layers} "
                      f"B={args.graphs}x{args.nodes} E={E} "
-                     f"{'bf16' if args.bf16 else 'fp32'}",
+                     f"{'bf16' if args.bf16 else 'fp32'}"
+                     f"{' forces' if args.forces else ''}",
         }))
         return
     mfu_str = (

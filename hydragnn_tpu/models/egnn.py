@@ -149,8 +149,13 @@ class E_GCL(nn.Module):
         )()
         geom_feats = jnp.concatenate(geom_parts, axis=-1)
 
+        from hydragnn_tpu.ops.pallas_egnn import second_order_supported
+
         fused = (not self.equivariant) and _use_fused_edge_kernel(
-            batch, second_order_ok=True
+            batch,
+            second_order_ok=second_order_supported(
+                self.hidden_dim, inv.dtype
+            ),
         )
         if fused:
             # whole edge chain (gathers -> edge MLP -> relu -> mask ->

@@ -37,18 +37,48 @@ class PainnMessage(nn.Module):
         dist = ctx["dist"]  # [E, 1]
         ns = self.node_size
         rbf = sinc_expansion(dist[:, 0], self.num_radial, self.cutoff)
-        fw = nn.Dense(ns * 3, name="filter_layer")(rbf)
-        fw = fw * cosine_cutoff(dist, self.cutoff)
+        from hydragnn_tpu.models.egnn import (
+            _DenseParams, _use_fused_edge_kernel,
+        )
+
+        wf, bf = _DenseParams(
+            self.num_radial, ns * 3, name="filter_layer"
+        )()
         e_attr = ctx.get("edge_attr")
+
+        h = nn.Dense(ns, name="scalar_mlp_0")(s_feat)
+        h = jax.nn.silu(h)
+        h = nn.Dense(ns * 3, name="scalar_mlp_1")(h)
+
+        if (
+            (self.edge_dim is None or e_attr is None)
+            and _use_fused_edge_kernel(batch)
+        ):
+            # whole message chain (filter Dense x cutoff, h/v gathers,
+            # gating, vector assembly, both sender segment-sums) in one
+            # per-graph-block Pallas kernel; [E, 3F] intermediates never
+            # touch HBM (ops/pallas_painn.py). First-order only: force
+            # training falls back to the unfused path below.
+            from hydragnn_tpu.ops.pallas_painn import painn_message_fused
+
+            cutw = cosine_cutoff(dist, self.cutoff)[:, 0]
+            res_s, res_v = painn_message_fused(
+                h, v_feat, rbf.astype(h.dtype),
+                (cutw * batch.edge_mask.astype(cutw.dtype)).astype(h.dtype),
+                (diff / dist).astype(h.dtype),
+                wf.astype(h.dtype), bf.astype(h.dtype),
+                batch.senders, batch.receivers,
+                batch.node_slot, batch.edge_slot,
+            )
+            return s_feat + res_s, v_feat + res_v
+
+        fw = rbf @ wf + bf
+        fw = fw * cosine_cutoff(dist, self.cutoff)
         if self.edge_dim is not None and e_attr is not None:
             ef = nn.Dense(ns, name="edge_filter_0")(e_attr)
             ef = jax.nn.silu(ef)
             ef = nn.Dense(ns * 3, name="edge_filter_1")(ef)
             fw = fw * ef
-
-        h = nn.Dense(ns, name="scalar_mlp_0")(s_feat)
-        h = jax.nn.silu(h)
-        h = nn.Dense(ns * 3, name="scalar_mlp_1")(h)
 
         # reference flow: gather from edge_index[1], aggregate into edge_index[0]
         src_gather = batch.receivers

@@ -67,6 +67,61 @@ class PNAConv(nn.Module):
             F_in, use_bias=False, name="pre_nn_src",
             kernel_init=split_init(F, fan_total),
         )(inv)
+        if self.edge_dim is None and batch.adjacency is not None:
+            # DENSE aggregation for slotted batches: the message is
+            # PAIR-FACTORED (h_ij = pre_d[i] + pre_s[j]), so every
+            # aggregator has a closed dense form over the [G, S, S]
+            # adjacency — no [E, F] message is ever materialized:
+            #   sum_j   = deg * pre_d + A pre_s              (MXU bmm)
+            #   sumsq_j = deg*pre_d^2 + 2 pre_d (A pre_s) + A pre_s^2
+            #   max_j   = pre_d + masked-max_j pre_s  (min analogous)
+            # Exactly the segment-op semantics incl. multi-edge
+            # multiplicities (A carries counts; max ignores them) and
+            # empty-segment conventions (mean/min/max -> 0, std ->
+            # sqrt(eps)). Same design family as GAT's dense attention.
+            from hydragnn_tpu.ops.segment import adjacency_spmm
+
+            A = jax.lax.stop_gradient(batch.adjacency)
+            G_, S_, _ = A.shape
+            degv = jnp.sum(A.astype(jnp.float32), axis=2).reshape(-1)
+            has = (degv > 0.0)[:, None]
+            d1 = jnp.maximum(degv, 1.0)[:, None].astype(inv.dtype)
+            a_ps = adjacency_spmm(A, pre_s)
+            a_ps2 = adjacency_spmm(A, pre_s * pre_s)
+            sum_agg = d1 * pre_d + a_ps
+            mean = sum_agg / d1
+            mean2 = (d1 * pre_d * pre_d + 2.0 * pre_d * a_ps + a_ps2) / d1
+            var = jax.nn.relu(mean2 - mean * mean)
+            std = jnp.sqrt(var + 1e-5)
+            mean = jnp.where(has, mean, 0.0)
+            neg = jnp.asarray(jnp.finfo(inv.dtype).min, inv.dtype)
+            Ab = (A.astype(jnp.float32) > 0)[..., None]  # [G, S, S, 1]
+            ps_g = pre_s.reshape(G_, 1, S_, -1)
+            nbr_max = jnp.max(
+                jnp.where(Ab, ps_g, neg), axis=2
+            ).reshape(N, -1)
+            nbr_min = jnp.min(
+                jnp.where(Ab, ps_g, -neg), axis=2
+            ).reshape(N, -1)
+            mx = jnp.where(has, pre_d + nbr_max, 0.0)
+            mn = jnp.where(has, pre_d + nbr_min, 0.0)
+            aggs = [mean, mn, mx, std]
+            out = jnp.concatenate(aggs, axis=-1)
+            avg_lin, avg_log = deg_stats(self.deg_hist)
+            d = jnp.maximum(degv, 1.0)[:, None]
+            logd = jnp.log(d + 1.0)
+            scaled = [
+                out,
+                out * (logd / avg_log),
+                out * (avg_log / logd),
+                out * (d / avg_lin),
+            ]
+            out = jnp.concatenate(scaled, axis=-1)
+            out = jnp.concatenate([inv, out], axis=-1)
+            out = nn.Dense(self.out_dim, name="post_nn")(out)
+            out = nn.Dense(self.out_dim, name="lin")(out)
+            return out, equiv
+
         h = batch.gather_dst(pre_d) + batch.gather_src(pre_s)
         if self.edge_dim:
             e = ctx.get("edge_attr")

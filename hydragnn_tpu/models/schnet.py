@@ -71,7 +71,14 @@ class CFConv(nn.Module):
         )()
         x = nn.Dense(self.num_filters, use_bias=False, name="lin1")(inv)
 
-        if (not self.equivariant) and _use_fused_edge_kernel(batch):
+        from hydragnn_tpu.ops.pallas_egnn import second_order_supported
+
+        if (not self.equivariant) and _use_fused_edge_kernel(
+            batch,
+            second_order_ok=second_order_supported(
+                self.num_filters, inv.dtype
+            ),
+        ):
             # whole filter-MLP + gather + multiply + segment-sum chain in
             # one per-graph-block Pallas kernel (ops/pallas_schnet.py)
             from hydragnn_tpu.ops.pallas_schnet import schnet_edge_fused

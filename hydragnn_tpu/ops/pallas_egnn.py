@@ -68,6 +68,73 @@ def _onehot(ids, s_rows: int, row_base, et: int, dtype):
     )
 
 
+def scale_edge_tile(
+    et: int, width: int, itemsize: int, n_live: int,
+    budget: int = 15 * 2**20, floor: int = 128, fixed: int = 0,
+) -> int:
+    """Largest power-of-two edge tile <= ``et`` whose ~``n_live`` live
+    [ET, width] intermediates fit the 16 MB scoped VMEM limit after the
+    ``fixed`` block costs (weight matrices + node blocks resident for the
+    whole kernel). Cost model ``width * n_live * (2 + itemsize)`` bytes
+    per edge-row (≈half the lives f32, half compute-dtype, plus pipeline
+    double-buffering), calibrated on three measurements at Hp=896: the
+    bf16 fwd/bwd pair fits at ET=512 (round 3), the fp32 bwd OOMs there
+    at 29.4 MB, and the bf16 SECOND-ORDER kernel (3 resident [Hp, Hp]
+    blocks) overflows by 0.5 MB at ET=256 — only ET=128 fits."""
+    budget = max(budget - fixed, 0)
+    while et > floor and et * width * n_live * (2 + itemsize) > budget:
+        et //= 2
+    return et
+
+
+def pick_edge_tiles(Hp: int, itemsize: int):
+    """Empirical (ET, ET2) edge-tile table for the [Hp, Hp]-weight edge-
+    chain kernels (EGNN / SchNet). Calibration points on v5e (16 MB scoped
+    VMEM): bf16 fwd/bwd fits Hp=896 at ET=512 (round 3); fp32 bwd OOMs
+    there at 29.4 MB (needs 256); the bf16 second-order kernel — three
+    resident [Hp, Hp] blocks + ~13 edge lives — overflows Hp=896 by
+    0.5 MB at ET2=256, so 128."""
+    if itemsize <= 2:
+        et = 512
+        et2 = 512 if Hp <= 256 else (256 if Hp <= 512 else 128)
+    else:
+        et = 512 if Hp <= 512 else 256
+        et2 = 256 if Hp <= 512 else 128
+    return et, et2
+
+
+def second_order_supported(hidden: int, dtype) -> bool:
+    """Whether the fused chain's second-order kernel fits VMEM at this
+    width: the bwd2 kernel holds THREE resident [Hp, Hp] weight blocks
+    (w1, its cotangent, and the accumulator) plus ~13 live [ET, Hp] edge
+    tensors, and ET cannot go below one lane tile (128). bf16 fits up to
+    Hp=1024 at ET2=128; fp32's resident blocks alone reach ~12 MB past
+    Hp=640, leaving no room for even one 128-row tile. Callers fall back
+    to the unfused XLA path when this returns False."""
+    Hp = _round_up(hidden, LANES)
+    if jnp.dtype(dtype).itemsize <= 2:
+        return Hp <= 1024
+    return Hp <= 512
+
+
+def _rechunk_ids(a, G: int, sub: int, sub_pad: int, et_new: int):
+    """Re-chunk a [G*K, sub_pad, LANES] id array (pad rows sentinel-filled
+    at each chunk tail) to a new edge tile — used by the second-order
+    kernels, which need smaller tiles than the fwd/bwd pair."""
+    K = a.shape[0] // G
+    flat = a[:, :sub, :].reshape(G, K * sub, LANES)
+    sub2 = et_new // LANES
+    K2 = (K * sub) // sub2
+    b = flat.reshape(G * K2, sub2, LANES)
+    sub2_pad = _round_up(sub2, 8)
+    if sub2_pad != sub2:
+        b = jnp.pad(
+            b, ((0, 0), (0, sub2_pad - sub2), (0, 0)),
+            constant_values=np.int32(2**31 - 2),
+        )
+    return b
+
+
 def _chunk_ids(ids_ref, k, sub: int):
     """Chunk k's [sub, LANES] id rows. The index array is laid out
     [G*K, sub_pad, LANES] with sub_pad = roundup(sub, 8) (Mosaic needs
@@ -399,13 +466,16 @@ def _bwd_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_core(G: int, S: int, Eg: int, ET: int, Hp: int, GD: int):
+def _make_core(G: int, S: int, Eg: int, ET: int, Hp: int, GD: int,
+               ET2: Optional[int] = None):
     """custom-VJP fused edge-chain over padded/slotted arrays.
 
     Shapes: pre_s/pre_d [G*S, Hp], geom [G*Eg, GD], w1 [Hp, Hp], b1 [1, Hp],
     wg [GD, Hp], senders/receivers [G*Eg//LANES, LANES] int32 ->
-    agg [G*S, Hp] f32.
+    agg [G*S, Hp] f32. ``ET2``: the (smaller) edge tile of the second-order
+    kernel, which holds ~1.5x more live [ET, Hp] intermediates.
     """
+    ET2 = ET2 or ET
     K = Eg // ET
     sub_pad = _round_up(ET // LANES, 8)
 
@@ -466,22 +536,28 @@ def _make_core(G: int, S: int, Eg: int, ET: int, Hp: int, GD: int):
         ),
     )
 
+    K2 = Eg // ET2
+    sub2_pad = _round_up(ET2 // LANES, 8)
+    idx2_spec = pl.BlockSpec(
+        (1, sub2_pad, LANES), lambda g, k: (g * K2 + k, 0, 0)
+    )
+    geo2_spec = pl.BlockSpec((ET2, GD), lambda g, k: (g * K2 + k, 0))
     bwd2_call = pl.pallas_call(
-        functools.partial(_bwd2_kernel, S=S, ET=ET, GD=GD),
-        grid=(G, K),
-        in_specs=[idx_spec, idx_spec, geo_spec, node_spec, node_spec,
+        functools.partial(_bwd2_kernel, S=S, ET=ET2, GD=GD),
+        grid=(G, K2),
+        in_specs=[idx2_spec, idx2_spec, geo2_spec, node_spec, node_spec,
                   wg_spec, w1_spec, b1_spec,
                   pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),   # u (dagg)
                   pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),   # vps
                   pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),   # vpd
-                  geo_spec,                                      # vgeo
+                  geo2_spec,                                     # vgeo
                   wg_spec,                                       # vwg
                   w1_spec,                                       # vw1
                   b1_spec],                                      # vb1
         out_specs=[
             pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),  # c_pre_s
             pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),  # c_pre_d
-            geo_spec,                                     # c_geom
+            geo2_spec,                                    # c_geom
             wg_spec,                                      # c_wg
             w1_spec,                                      # c_w1
             pl.BlockSpec((S, Hp), lambda g, k: (g, 0)),  # c_dagg
@@ -527,6 +603,10 @@ def _make_core(G: int, S: int, Eg: int, ET: int, Hp: int, GD: int):
         pre_s, pre_d, geom, w1, b1, wg, dagg, s2d, r2d = res
         vps, vpd, vgeo, vwg, vw1, vb1 = cots
         dt = pre_s.dtype
+        if ET2 != ET:
+            sub = ET // LANES
+            s2d = _rechunk_ids(s2d, G, sub, sub_pad, ET2)
+            r2d = _rechunk_ids(r2d, G, sub, sub_pad, ET2)
         cps, cpd, cgeo, cwg, cw1, cu = bwd2_call(
             s2d, r2d, geom, pre_s, pre_d, wg, w1, b1,
             dagg.astype(jnp.float32),
@@ -596,15 +676,20 @@ def egnn_edge_fused(
     G = N // S
     assert G * S == N and G * Eg == E, (N, S, E, Eg)
     Hp = _round_up(H, LANES)
+    dt = pre_s.dtype
+    auto_et, auto_et2 = pick_edge_tiles(Hp, jnp.dtype(dt).itemsize)
     if edge_tile is None:
         import os
 
         edge_tile = min(
-            Eg, int(os.getenv("HYDRAGNN_FUSED_EDGE_TILE", "512"))
+            Eg,
+            int(os.getenv("HYDRAGNN_FUSED_EDGE_TILE", "0")) or auto_et,
         )
     while Eg % edge_tile:
         edge_tile //= 2
-    dt = pre_s.dtype
+    et2 = min(edge_tile, auto_et2)
+    while Eg % et2:
+        et2 //= 2
     padH = Hp - H
     if padH:
         pre_s = jnp.pad(pre_s, ((0, 0), (0, padH)))
@@ -612,7 +697,7 @@ def egnn_edge_fused(
         w1 = jnp.pad(w1, ((0, padH), (0, padH)))
         b1 = jnp.pad(b1, (0, padH))
         wg = jnp.pad(wg, ((0, 0), (0, padH)))
-    core = _make_core(G, S, Eg, edge_tile, Hp, GD)
+    core = _make_core(G, S, Eg, edge_tile, Hp, GD, et2)
     sub = edge_tile // LANES
     sub_pad = _round_up(sub, 8)
     K = Eg // edge_tile

@@ -126,13 +126,14 @@ def run_training(
 
     arch = config["NeuralNetwork"]["Architecture"]
     training_cfg = config["NeuralNetwork"]["Training"]
-    # EGNN/SchNet on TPU route through the fused per-graph-block edge
-    # kernels (ops/pallas_egnn.py, ops/pallas_schnet.py) which need the
-    # slotted node+edge collate; "auto" sizes both slots from the dataset.
+    # EGNN/SchNet/PAINN on TPU route through the fused per-graph-block
+    # edge kernels (ops/pallas_egnn.py, pallas_schnet.py, pallas_painn.py)
+    # which need the slotted node+edge collate; "auto" sizes both slots
+    # from the dataset.
     # Override with Training["edge_slot"] = "off" (or an integer).
     edge_slot = training_cfg.get("edge_slot", "auto")
     use_edge_slot = (
-        arch.get("mpnn_type") in ("EGNN", "SchNet")
+        arch.get("mpnn_type") in ("EGNN", "SchNet", "PAINN")
         and not arch.get("equivariance")
         and edge_slot != "off"
     )
@@ -180,7 +181,7 @@ def run_prediction(
         training_cfg = config["NeuralNetwork"]["Training"]
         edge_slot = training_cfg.get("edge_slot", "auto")
         use_edge_slot = (
-            arch.get("mpnn_type") in ("EGNN", "SchNet")
+            arch.get("mpnn_type") in ("EGNN", "SchNet", "PAINN")
             and not arch.get("equivariance")
             and edge_slot != "off"
         )

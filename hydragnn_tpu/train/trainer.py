@@ -159,41 +159,55 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
             # kernel family declares a differentiable backward
             two_pass = _use_fused_edge_kernel(batch, second_order_ok=True)
 
+        # mixed precision (bf16 compute, fp32 master params/loss) applies
+        # to both force structures — the GFM force objective trains bf16
+        if mixed_precision:
+            p_use = _cast_floats(params, jnp.bfloat16)
+            b_use = batch.replace(
+                x=batch.x.astype(jnp.bfloat16),
+                pos=batch.pos.astype(jnp.bfloat16),
+            )
+        else:
+            p_use, b_use = params, batch
+
         if two_pass:
 
             def graph_energy_of_pos(pos):
-                b = batch.replace(pos=pos)
-                pred, _ = _forward(model, params, batch_stats, b, train, rngs)
+                b = b_use.replace(pos=pos)
+                pred, _ = _forward(model, p_use, batch_stats, b, train, rngs)
                 node_e = pred[0]
                 ge = segment_sum(
                     node_e[:, 0] * b.node_mask.astype(node_e.dtype),
                     b.node_graph_idx,
                     b.num_graphs,
                 )
-                return jnp.sum(ge)
+                return jnp.sum(ge.astype(jnp.float32))
 
             with fused_kernels_disabled():
-                dE_dpos = jax.grad(graph_energy_of_pos)(batch.pos)
+                dE_dpos = jax.grad(graph_energy_of_pos)(b_use.pos)
             pred, new_stats = _forward(
-                model, params, batch_stats, batch, train, rngs
+                model, p_use, batch_stats, b_use, train, rngs
             )
-            forces_pred = -dE_dpos
+            pred = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), pred
+            )
+            forces_pred = -dE_dpos.astype(jnp.float32)
             loss, tasks = energy_force_loss(cfg, pred[0], forces_pred, batch)
             return loss, (tasks, pred, new_stats)
 
         def graph_energy_of_pos(pos):
-            b = batch.replace(pos=pos)
+            b = b_use.replace(pos=pos)
             # single forward per step: the mutated batch_stats ride the aux
             # output of the inner pos-grad (ref Base.energy_force_loss runs
             # one forward too; round-1 ran a second one just for the stats)
-            pred, new_stats = _forward(model, params, batch_stats, b, train, rngs)
+            pred, new_stats = _forward(model, p_use, batch_stats, b, train, rngs)
             node_e = pred[0]
             ge = segment_sum(
                 node_e[:, 0] * b.node_mask.astype(node_e.dtype),
                 b.node_graph_idx,
                 b.num_graphs,
             )
-            return jnp.sum(ge), (pred, new_stats)
+            return jnp.sum(ge.astype(jnp.float32)), (pred, new_stats)
 
         # second-order trace (force grads differentiate through the inner
         # pos-grad): kernels without a second-order VJP bake the unfused
@@ -201,8 +215,11 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
         with fused_kernels_disabled():
             (_, (pred, new_stats)), dE_dpos = jax.value_and_grad(
                 graph_energy_of_pos, has_aux=True
-            )(batch.pos)
-        forces_pred = -dE_dpos
+            )(b_use.pos)
+        pred = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), pred
+        )
+        forces_pred = -dE_dpos.astype(jnp.float32)
         loss, tasks = energy_force_loss(cfg, pred[0], forces_pred, batch)
         return loss, (tasks, pred, new_stats)
 

@@ -94,6 +94,11 @@ _SLOW = {
     "test_tensor_parallel.py::test_tp_dryrun_shards_real_dp_batches",
     "test_mace_oracle.py::test_symmetric_product_spans_u_matrix_space",
     "test_mace_oracle.py::test_symmetric_product_mixed_orders_span",
+    # round-4 additions
+    "test_pallas_egnn.py::test_second_order_grad_of_grad_matches_reference",
+    "test_pallas_schnet.py::test_second_order_grad_of_grad_matches_reference",
+    "test_edge_slot_sorted.py::test_fused_second_order_force_grads_match_unfused",
+    "test_edge_slot_sorted.py::test_force_grads_slotted_matches_plain",
 }
 
 

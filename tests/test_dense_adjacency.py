@@ -172,3 +172,72 @@ def test_gat_dense_attention_matches_edgewise():
     np.testing.assert_allclose(
         np.asarray(o_dense)[m], np.asarray(o_edge)[m], rtol=2e-5, atol=2e-5
     )
+
+
+def test_pna_dense_aggregation_matches_edgewise():
+    """PNA's message is pair-factored (h_ij = pre_d[i] + pre_s[j]), so the
+    dense-adjacency route computes all four aggregators (mean/min/max/std)
+    + degree scalers in closed form over [G, S, S] — must equal the
+    edgewise masked segment ops, loss AND grads (models/pna.py)."""
+    import numpy as np
+    import jax
+
+    from hydragnn_tpu.graph import GraphSample, collate
+    from hydragnn_tpu.models.arch import ArchConfig, BranchConfig
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.optimizer import select_optimizer
+    from hydragnn_tpu.train.trainer import init_state, make_loss_fn
+
+    rng = np.random.RandomState(3)
+    samples = []
+    for i in range(4):
+        n = 5 + i * 3
+        e = 3 * n
+        samples.append(GraphSample(
+            x=rng.randn(n, 1).astype(np.float32),
+            pos=rng.randn(n, 3).astype(np.float32),
+            edge_index=np.stack([
+                rng.randint(0, n, e), rng.randint(0, n, e)
+            ]).astype(np.int64),
+            y_graph=rng.randn(1).astype(np.float32),
+        ))
+    # duplicate one edge to exercise multiplicity > 1
+    s0 = samples[0]
+    s0.edge_index = np.concatenate(
+        [s0.edge_index, s0.edge_index[:, :2]], axis=1
+    )
+
+    cfg = ArchConfig(
+        mpnn_type="PNA", input_dim=1, hidden_dim=16, output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=(BranchConfig("branch-0", 2, 16, 2, (16, 16)),),
+        node_branches=(), num_conv_layers=2, num_nodes=14,
+        max_neighbours=8, pna_deg=(0, 2, 3, 4, 3, 2, 1, 1),
+    )
+    model = create_model(cfg)
+    plain = collate(samples)
+    dense = collate(samples, node_slot=16, dense_adjacency=True)
+    assert dense.adjacency is not None
+    opt = select_optimizer(
+        {"Optimizer": {"type": "AdamW", "learning_rate": 1e-3}}
+    )
+    state = init_state(model, plain, opt)
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy=False)
+
+    out = {}
+    for name, b in (("edgewise", plain), ("dense", dense)):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, b, jax.random.PRNGKey(0), True
+        )
+        out[name] = (float(loss), jax.tree_util.tree_map(np.asarray, grads))
+
+    np.testing.assert_allclose(
+        out["dense"][0], out["edgewise"][0], rtol=1e-5
+    )
+    flat_e = jax.tree_util.tree_leaves_with_path(out["edgewise"][1])
+    flat_d = jax.tree_util.tree_leaves(out["dense"][1])
+    for (path, ge), gd in zip(flat_e, flat_d):
+        np.testing.assert_allclose(
+            gd, ge, rtol=3e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )

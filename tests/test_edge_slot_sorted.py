@@ -226,3 +226,44 @@ def test_auto_slots_shared_across_splits():
     node_slot, edge_slot = slots.pop()
     assert node_slot >= max(s.num_nodes for s in samples)
     assert edge_slot >= max(s.num_edges for s in samples)
+
+
+@pytest.mark.parametrize("mpnn_type", ["SchNet", "EGNN"])
+def test_fused_second_order_force_grads_match_unfused(mpnn_type, monkeypatch):
+    """Model-level second-order equality: energy-force loss AND parameter
+    gradients from the FUSED kernels (second-order custom VJPs, interpret
+    mode) match the unfused XLA path on the same slotted batch."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    samples = _lj_samples(n=5, seed=2)
+    config = _force_config(mpnn_type)
+    train, val, test = split_dataset(samples, 0.8)
+    config = update_config(config, train, val, test)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+
+    node_slot, edge_slot = _slot_sizes(samples)
+    batch = collate(samples[:3], node_slot=node_slot, edge_slot=edge_slot)
+    opt = select_optimizer(config["NeuralNetwork"]["Training"])
+    state = init_state(model, batch, opt)
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy=True)
+
+    out = {}
+    for name, flag in (("unfused", "0"), ("fused", "1")):
+        monkeypatch.setenv("HYDRAGNN_FUSED_EGNN", flag)
+        with pltpu.force_tpu_interpret_mode():
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch,
+                jax.random.PRNGKey(0), True,
+            )
+            grads = jax.tree_util.tree_map(np.asarray, grads)
+        out[name] = (float(loss), grads)
+
+    np.testing.assert_allclose(out["fused"][0], out["unfused"][0], rtol=1e-5)
+    flat_u = jax.tree_util.tree_leaves_with_path(out["unfused"][1])
+    flat_f = jax.tree_util.tree_leaves(out["fused"][1])
+    for (path, gu), gf in zip(flat_u, flat_f):
+        np.testing.assert_allclose(
+            gf, gu, rtol=5e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )

@@ -370,3 +370,54 @@ def test_second_order_grad_of_grad_matches_reference(H):
             outs["fused"][2][i], outs["ref"][2][i], rtol=5e-5, atol=5e-5,
             err_msg=f"outer grad mismatch for {arg}",
         )
+
+
+def test_second_order_rechunked_tile():
+    """At H=512/Eg=512 the second-order kernel's VMEM model picks a SMALLER
+    edge tile than the fwd/bwd pair (scale_edge_tile n_live=12), so the
+    bwd2 call must re-chunk the prepared id arrays (_rechunk_ids). Checks
+    grad-of-grad equality through that path."""
+    from hydragnn_tpu.ops.pallas_egnn import scale_edge_tile
+
+    H, Eg, G, S = 512, 512, 2, 8
+    # precondition: the tile model really does split at this shape
+    assert scale_edge_tile(512, 512, 4, 12) < scale_edge_tile(512, 512, 4, 6)
+
+    (pre_s, pre_d, geom, w1, b1, wg, senders, receivers,
+     real_edge, node_real) = _workload(G=G, S=S, Eg=Eg, H=H, GD=1,
+                                       frac_pad=0.3, seed=9)
+    N = pre_s.shape[0]
+    rng = np.random.RandomState(4)
+    w_down = (rng.randn(N, H).astype(np.float32) * node_real[:, None])
+
+    def loss_of(params, use_fused):
+        w1_, b1_, wg_ = params
+
+        def energy(geom_):
+            if use_fused:
+                agg = egnn_edge_fused(
+                    pre_s, pre_d, geom_, w1_, b1_, wg_,
+                    jnp.asarray(senders), jnp.asarray(receivers), S, Eg,
+                )
+            else:
+                agg = egnn_edge_reference(
+                    pre_s, pre_d, geom_, w1_, b1_, wg_,
+                    jnp.asarray(senders), jnp.asarray(receivers), N,
+                )
+            return jnp.sum(agg * w_down)
+
+        force = jax.grad(energy)(geom)
+        return jnp.sum(force ** 2)
+
+    outs = {}
+    for name, fused in (("ref", False), ("fused", True)):
+        val, grads = jax.value_and_grad(loss_of)((w1, b1, wg), fused)
+        outs[name] = (float(val), [np.asarray(g) for g in grads])
+    np.testing.assert_allclose(outs["fused"][0], outs["ref"][0], rtol=1e-4)
+    for i, nm in enumerate(["w1", "b1", "wg"]):
+        # larger workload: fp32 accumulation-order differences reach ~0.2%
+        # relative on O(1e3) entries — shape-scaled tolerance
+        np.testing.assert_allclose(
+            outs["fused"][1][i], outs["ref"][1][i], rtol=5e-3, atol=1e-3,
+            err_msg=f"grad mismatch for {nm}",
+        )

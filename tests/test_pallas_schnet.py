@@ -175,3 +175,78 @@ def test_cfconv_fused_matches_unfused_end_to_end(monkeypatch):
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+@pytest.mark.parametrize("F", [64, 72])
+def test_second_order_grad_of_grad_matches_reference(F):
+    """Force-training structure for CFConv: rbf/cut are the pos-dependent
+    inputs — inner grad w.r.t. them, outer grad of a force-MSE w.r.t. the
+    node features and all filter-MLP params. Unlike the EGNN chain the
+    nonlinearity (shifted softplus) is smooth, so bg0/bg1 carry genuine
+    second-order terms — the fused path must match XLA exactly."""
+    (x, rbf, cut, wg0, bg0, wg1, bg1, s, r, real, node_real) = _workload(
+        G=3, S=16, Eg=128, F=F, NG=16, frac_pad=0.25, seed=3
+    )
+    N = x.shape[0]
+    rng = np.random.RandomState(11)
+    w_down = rng.randn(N, F).astype(np.float32) * node_real[:, None]
+    rbf_tgt = rng.randn(*rbf.shape).astype(np.float32)
+    cut_tgt = rng.randn(*cut.shape).astype(np.float32)
+
+    def make_fns(use_fused):
+        def energy(rbf_, cut_, x_, wg0_, bg0_, wg1_, bg1_):
+            if use_fused:
+                out = schnet_edge_fused(
+                    x_, rbf_, cut_, wg0_, bg0_, wg1_, bg1_,
+                    jnp.asarray(s), jnp.asarray(r),
+                    node_slot=16, edge_slot=128,
+                )
+            else:
+                out = schnet_edge_reference(
+                    x_, rbf_, cut_, wg0_, bg0_, wg1_, bg1_,
+                    jnp.asarray(s), jnp.asarray(r), N,
+                )
+            return jnp.sum(out * w_down)
+
+        def loss(x_, wg0_, bg0_, wg1_, bg1_):
+            drbf, dcut = jax.grad(energy, argnums=(0, 1))(
+                jnp.asarray(rbf), jnp.asarray(cut), x_, wg0_, bg0_,
+                wg1_, bg1_,
+            )
+            return (
+                jnp.sum((drbf - rbf_tgt) ** 2)
+                + jnp.sum((dcut - cut_tgt) ** 2)
+                + energy(jnp.asarray(rbf), jnp.asarray(cut), x_, wg0_,
+                         bg0_, wg1_, bg1_)
+            )
+
+        return energy, loss
+
+    outs = {}
+    for name, use_fused in (("ref", False), ("fused", True)):
+        energy, loss = make_fns(use_fused)
+        inner = jax.grad(energy, argnums=(0, 1))(
+            jnp.asarray(rbf), jnp.asarray(cut), jnp.asarray(x),
+            jnp.asarray(wg0), jnp.asarray(bg0), jnp.asarray(wg1),
+            jnp.asarray(bg1),
+        )
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+            jnp.asarray(x), jnp.asarray(wg0), jnp.asarray(bg0),
+            jnp.asarray(wg1), jnp.asarray(bg1),
+        )
+        outs[name] = (
+            [np.asarray(g) for g in inner], float(val),
+            [np.asarray(g) for g in grads],
+        )
+
+    for i, nm in enumerate(["drbf", "dcut"]):
+        np.testing.assert_allclose(
+            outs["fused"][0][i], outs["ref"][0][i], rtol=2e-5, atol=2e-5,
+            err_msg=f"inner grad mismatch for {nm}",
+        )
+    np.testing.assert_allclose(outs["fused"][1], outs["ref"][1], rtol=2e-5)
+    for i, nm in enumerate(["x", "wg0", "bg0", "wg1", "bg1"]):
+        np.testing.assert_allclose(
+            outs["fused"][2][i], outs["ref"][2][i], rtol=1e-4, atol=1e-4,
+            err_msg=f"outer grad mismatch for {nm}",
+        )
