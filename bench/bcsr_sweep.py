@@ -1,0 +1,110 @@
+"""BCSR giant-graph kernel variant sweep (round-4: drive toward the ~0.9 ms
+compute floor, VERDICT r3 item 4).
+
+Hypotheses probed on the 131k-node / 1.05M-edge RCM-ordered 2D Moore
+lattice:
+  - packed bit-plane tiles trade HBM (17 MB vs 134 MB/layer) for a VPU
+    unpack that may dominate at bf16 arithmetic intensity -> A/B pack
+  - CHUNK (sender columns/tile) trades tile count (per-tile control + DMA
+    overhead) against band overfetch -> 128/256/512
+  - the x-chunk RING cache only applies to the single-feature-tile path
+
+Usage: python bench/bcsr_sweep.py [--iters 30]
+One JSON line per variant.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from giant_graph_spmm import lattice_graph  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--dims", type=int, default=362)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hydragnn_tpu.data.ordering import rcm_order
+    from hydragnn_tpu.ops.bcsr import build_bcsr, bcsr_matmul
+
+    ei, n = lattice_graph((args.dims, args.dims), "moore")
+    perm = rcm_order(ei, n)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
+    ei = inv[ei]
+    order = np.argsort(ei[1])
+    send, recv = ei[0][order], ei[1][order]
+    e = send.shape[0]
+
+    rng = np.random.RandomState(0)
+    x32 = jnp.asarray(rng.randn(n, 128).astype(np.float32))
+    x16 = x32.astype(jnp.bfloat16)
+
+    ref = None
+    for chunk in (128, 256, 512):
+        for pack in (True, False):
+            bc = build_bcsr(send, recv, None, n, chunk=chunk, pack=pack)
+            if bc is None:
+                print(json.dumps({"chunk": chunk, "pack": pack,
+                                  "skipped": "build rejected"}))
+                continue
+            d = bc.fwd
+            tiles = int(d.a.shape[0])
+            tile_mb = d.a.size / 1e6
+            for label, x, passes in (
+                ("bf16x1", x16, 1), ("fp32x2", x32, 2)
+            ):
+                fn = lambda v, d=d, p=passes: bcsr_matmul(d, v, p)
+
+                @jax.jit
+                def loop(v, fn=fn):
+                    def body(v, _):
+                        out = fn(v)[: v.shape[0]]
+                        return (
+                            v * (np.float32(1.0)
+                                 + out[0, 0].astype(jnp.float32)
+                                 * np.float32(1e-38)).astype(v.dtype),
+                            out[0, 0],
+                        )
+
+                    return jax.lax.scan(body, v, None, length=args.iters)
+
+                r = loop(x)
+                out0 = float(np.asarray(r[1])[0])
+                if ref is None and label == "fp32x2":
+                    ref = out0
+                elif label == "fp32x2" and ref is not None:
+                    assert abs(out0 - ref) < 1e-3 + 1e-4 * abs(ref), (
+                        chunk, pack, out0, ref
+                    )
+                dts = []
+                for t in range(3):
+                    arg = (x32 * np.float32(1.0 + (t + 1) * 1e-7)).astype(
+                        x.dtype
+                    )
+                    jax.block_until_ready(arg)
+                    t0 = time.perf_counter()
+                    r = loop(arg)
+                    float(np.asarray(r[1])[-1])
+                    dts.append((time.perf_counter() - t0) / args.iters)
+                dt = min(dts)
+                print(json.dumps({
+                    "chunk": chunk, "pack": pack, "dtype": label,
+                    "tiles": tiles, "tile_mb": round(tile_mb, 1),
+                    "ms": round(dt * 1e3, 3),
+                    "medges_per_s": round(e / dt / 1e6, 1),
+                    "trial_ms": [round(d_ * 1e3, 3) for d_ in dts],
+                }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,8 +10,12 @@ model.
 
 Scope: homogeneous hidden->hidden conv stacks (every HydraBase subclass
 whose ``_conv_plan`` repeats (hidden, hidden) after layer 0 — the GFM
-flagship EGNN included). Per-layer norms ride along in eval mode
-(running statistics are not updated inside the pipeline). GPS-wrapped
+flagship EGNN included). Norm-carrying stacks (the CI-default PNA's
+MaskedBatchNorm) are staged too: per-layer running statistics are
+per-layer pytrees, so they stack [S, k] alongside the params
+(``split_conv_state``) and each stage applies its norm in eval mode
+(running statistics are not UPDATED inside the pipeline — the sequential
+definition this must equal runs eval-mode norms as well). GPS-wrapped
 stacks and MACE (per-layer decoders) are out of scope and raise.
 
 Beyond reference parity: the reference has no pipeline axis at all
@@ -44,11 +48,20 @@ def _conv_layer_names(params: Dict[str, Any]):
     return names
 
 
-def split_conv_params(params: Dict[str, Any], n_stages: int):
-    """Full flax params -> (outer, stacked). ``outer`` keeps everything but
-    conv/norm layers 1..L-1; ``stacked`` carries those with leading [S, k]
-    dims for the pipe axis. L-1 must be divisible by n_stages."""
+def split_conv_state(
+    params: Dict[str, Any],
+    batch_stats: Optional[Dict[str, Any]],
+    n_stages: int,
+):
+    """Full flax state -> (outer_params, outer_stats, stacked).
+
+    ``outer`` keeps everything but conv/norm layers 1..L-1; ``stacked``
+    carries those with leading [S, k] dims for the pipe axis — including
+    each staged norm's running statistics ({"stats": {mean, var}}), which
+    are per-layer pytrees exactly like the params. L-1 must be divisible
+    by n_stages."""
     params = dict(params)
+    batch_stats = dict(batch_stats) if batch_stats else {}
     names = _conv_layer_names(params)
     pipe_names = names[1:]
     assert len(pipe_names) % n_stages == 0, (
@@ -62,9 +75,17 @@ def split_conv_params(params: Dict[str, Any], n_stages: int):
         norm_nm = f"norm_{i}"
         if norm_nm in params:
             layer["norm"] = params.pop(norm_nm)
+        if norm_nm in batch_stats:
+            layer["stats"] = batch_stats.pop(norm_nm)
         layers.append(layer)
     stacked = stack_layer_params(layers, n_stages)
-    return params, stacked
+    return params, batch_stats, stacked
+
+
+def split_conv_params(params: Dict[str, Any], n_stages: int):
+    """Params-only convenience wrapper of ``split_conv_state``."""
+    outer, _, stacked = split_conv_state(params, None, n_stages)
+    return outer, stacked
 
 
 def merge_conv_params(outer: Dict[str, Any], stacked) -> Dict[str, Any]:
@@ -80,6 +101,22 @@ def merge_conv_params(outer: Dict[str, Any], stacked) -> Dict[str, Any]:
             if "norm" in layer:
                 full[f"norm_{i}"] = layer["norm"]
     return full
+
+
+def merge_conv_state(outer, outer_stats, stacked):
+    """Inverse of split_conv_state -> (params, batch_stats).
+    merge_conv_params only reads the "conv"/"norm" entries, so the staged
+    "stats" are re-homed into the batch_stats tree here."""
+    params = merge_conv_params(outer, stacked)
+    stats = dict(outer_stats) if outer_stats else {}
+    leaves = jax.tree_util.tree_leaves(stacked)
+    S, k = leaves[0].shape[:2]
+    for s in range(S):
+        for j in range(k):
+            layer = jax.tree_util.tree_map(lambda a: a[s, j], stacked)
+            if "stats" in layer:
+                stats[f"norm_{1 + s * k + j}"] = layer["stats"]
+    return params, stats
 
 
 def make_pipelined_hydra_loss(
@@ -112,27 +149,36 @@ def make_pipelined_hydra_loss(
         name=None,
     )
 
-    from hydragnn_tpu.models.layers import activation_function_selection
+    from hydragnn_tpu.models.layers import (
+        MaskedBatchNorm,
+        activation_function_selection,
+    )
 
     act = activation_function_selection(cfg.activation)
+    norm_template = MaskedBatchNorm()
 
     def layer_fn(p, h, bundle):
         mb, ctx, equiv = bundle
-        if "norm" in p:
-            raise NotImplementedError(
-                "pipelined stacks with per-layer BatchNorm are not staged "
-                "yet (running statistics live outside params); use a "
-                "norm-free stack (SchNet/EGNN/PAINN-style)"
-            )
         out, _ = conv_template.apply(
             {"params": p["conv"]}, h, equiv, mb, ctx, train=False
         )
+        if "norm" in p:
+            # staged MaskedBatchNorm in eval mode: params [scale, bias]
+            # and running stats both ride the [S, k] stacked pytree
+            out = norm_template.apply(
+                {"params": p["norm"],
+                 "batch_stats": p.get("stats", {})},
+                out, mb.node_mask, use_running_average=True,
+            )
         return act(out)
 
     pipe = make_pipelined_apply(layer_fn, mesh, n_stages, n_micro, axis=axis)
 
-    def loss_fn(outer, stacked, micro_batches):
+    def loss_fn(outer, stacked, micro_batches, outer_stats=None):
         M = n_micro
+        variables = {"params": outer}
+        if outer_stats:
+            variables["batch_stats"] = outer_stats
         # ---- replicated prologue: embedding + conv layer 0 per microbatch
         xs, ctxs, equivs, mbs = [], [], [], []
         for m in range(M):
@@ -141,7 +187,7 @@ def make_pipelined_hydra_loss(
                 micro_batches,
             )
             inv, equiv, ctx = model.apply(
-                {"params": outer}, mb, method="embed_and_first_layer"
+                variables, mb, method="embed_and_first_layer"
             )
             xs.append(inv)
             ctxs.append(ctx)
@@ -161,7 +207,7 @@ def make_pipelined_hydra_loss(
         for m in range(M):
             mb = mbs[m]
             pred = model.apply(
-                {"params": outer}, outs[m], equivs[m], mb, ctxs[m],
+                variables, outs[m], equivs[m], mb, ctxs[m],
                 method="decode",
             )
             loss, _ = compute_loss(cfg, pred, mb)
@@ -171,16 +217,20 @@ def make_pipelined_hydra_loss(
     return loss_fn
 
 
-def sequential_microbatch_loss(model, cfg, params, micro_batches, n_micro):
+def sequential_microbatch_loss(model, cfg, params, micro_batches, n_micro,
+                               batch_stats=None):
     """The single-device definition the pipelined loss must equal: mean of
     per-microbatch trainer losses with the same (merged) params."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
     losses = []
     for m in range(n_micro):
         mb = jax.tree_util.tree_map(
             lambda a: a[m] if hasattr(a, "ndim") and a.ndim else a,
             micro_batches,
         )
-        pred = model.apply({"params": params}, mb, train=False)
+        pred = model.apply(variables, mb, train=False)
         loss, _ = compute_loss(cfg, pred, mb)
         losses.append(loss)
     return jnp.mean(jnp.stack(losses))

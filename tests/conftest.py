@@ -99,6 +99,7 @@ _SLOW = {
     "test_pallas_schnet.py::test_second_order_grad_of_grad_matches_reference",
     "test_edge_slot_sorted.py::test_fused_second_order_force_grads_match_unfused",
     "test_edge_slot_sorted.py::test_force_grads_slotted_matches_plain",
+    "test_pipeline_parallel.py::test_pipelined_pna_with_batchnorm_matches_sequential",
 }
 
 

@@ -218,3 +218,120 @@ def test_pipelined_hydra_model_matches_sequential():
                     err_msg=f"conv_{1 + s * k_per + j}"
                             f"{jax.tree_util.keystr(pa)}",
                 )
+
+
+def test_pipelined_pna_with_batchnorm_matches_sequential():
+    """Norm-carrying stack (the CI-default PNA with MaskedBatchNorm) staged
+    across the pipe mesh: running statistics ride the [S, k] stacked pytree
+    (split_conv_state), each stage applies its norm in eval mode. Loss and
+    ALL gradients — conv, norm scale/bias, outer — must equal the
+    single-device eval-mode definition (VERDICT r3 item 6)."""
+    import jax
+    import numpy as np
+
+    from hydragnn_tpu.graph import GraphSample, collate
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.pipeline import setup_pipe_mesh
+    from hydragnn_tpu.parallel.pipeline_model import (
+        make_pipelined_hydra_loss,
+        merge_conv_state,
+        sequential_microbatch_loss,
+        split_conv_state,
+    )
+    from hydragnn_tpu.train.trainer import stack_batches
+    from tests.test_models_forward import make_cfg
+
+    S, M = 4, 4
+    cfg = make_cfg("PNA", num_conv_layers=9, hidden_dim=16,
+                   pna_deg=(0, 0, 1, 3, 4, 3, 1))
+    model = create_model(cfg)
+
+    rng = np.random.RandomState(1)
+    batches = []
+    for m in range(M):
+        samples = []
+        for _ in range(3):
+            n = rng.randint(6, 11)
+            e = n * 3
+            samples.append(GraphSample(
+                x=rng.randn(n, 1).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=np.stack([
+                    rng.randint(0, n, e), rng.randint(0, n, e)
+                ]).astype(np.int64),
+                y_graph=rng.randn(1).astype(np.float32),
+            ))
+        batches.append(collate(samples, n_node_pad=48, n_edge_pad=128))
+    micro = stack_batches(batches)
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(
+            lambda a: a[0] if hasattr(a, "ndim") and a.ndim else a, micro
+        ),
+        train=False,
+    )
+    params = variables["params"]
+    # perturb running statistics away from the init (mean 0 / var 1) so the
+    # staged-stats plumbing actually carries information
+    batch_stats = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.abs(rng.randn(*a.shape)).astype(a.dtype),
+        jax.device_get(variables.get("batch_stats", {})),
+    )
+    outer, outer_stats, stacked = split_conv_state(params, batch_stats, S)
+    assert "stats" in jax.tree_util.tree_map(lambda a: a, stacked), (
+        list(stacked)
+    )
+    # round-trip
+    merged_p, merged_s = merge_conv_state(outer, outer_stats, stacked)
+    for k in params:
+        np.testing.assert_array_equal(
+            jax.tree_util.tree_leaves(merged_p[k])[0],
+            jax.tree_util.tree_leaves(params[k])[0],
+        )
+    for k in batch_stats:
+        np.testing.assert_array_equal(
+            np.asarray(merged_s[k]["mean"]),
+            np.asarray(batch_stats[k]["mean"]),
+        )
+
+    mesh = setup_pipe_mesh(S, jax.devices()[:S])
+    pipe_loss = make_pipelined_hydra_loss(model, cfg, mesh, S, M)
+    l_pipe, (g_outer, g_stacked) = jax.value_and_grad(
+        pipe_loss, argnums=(0, 1)
+    )(outer, stacked, micro, outer_stats=outer_stats)
+
+    def seq_loss(p):
+        return sequential_microbatch_loss(
+            model, cfg, p, micro, M, batch_stats=batch_stats
+        )
+
+    l_seq, g_seq = jax.value_and_grad(seq_loss)(params)
+    np.testing.assert_allclose(float(l_pipe), float(l_seq), rtol=1e-5)
+
+    k_per = 8 // S
+    for s in range(S):
+        for j in range(k_per):
+            layer_g = jax.tree_util.tree_map(lambda a: a[s, j], g_stacked)
+            i = 1 + s * k_per + j
+            for part, ref_key in (("conv", f"conv_{i}"),
+                                  ("norm", f"norm_{i}")):
+                ref = g_seq[ref_key]
+                for (pa, a), b in zip(
+                    jax.tree_util.tree_leaves_with_path(layer_g[part]),
+                    jax.tree_util.tree_leaves(ref),
+                ):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+                        err_msg=f"{ref_key}{jax.tree_util.keystr(pa)}",
+                    )
+    for k, g in g_outer.items():
+        ref = g_seq[k]
+        for (pa, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g),
+            jax.tree_util.tree_leaves(ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+                err_msg=f"{k}{jax.tree_util.keystr(pa)}",
+            )
