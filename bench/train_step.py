@@ -156,6 +156,8 @@ def main():
         envelope_exponent=5,
         num_gaussians=10,
         num_filters=args.hidden,
+        # harness graphs have exactly `deg` in-edges per node
+        pna_deg=(0,) * args.deg + (args.graphs * args.nodes,),
     )
     model = create_model(cfg)
     batches = [

@@ -170,6 +170,10 @@ class E_GCL(nn.Module):
                 batch.senders, batch.receivers,
                 batch.node_slot, batch.edge_slot,
             )
+            # zero padding-slot garbage rows (see models/painn.py note:
+            # unchecked they can overflow across layers and NaN-poison the
+            # masked loss; the unfused path zeroes them via edge_mask)
+            agg = agg * batch.node_mask.astype(agg.dtype)[:, None]
             h = jnp.concatenate([inv, agg], axis=-1)
             h = jax.nn.relu(nn.Dense(self.hidden_dim, name="node_mlp_0")(h))
             h = nn.Dense(self.out_dim, name="node_mlp_1")(h)

@@ -70,7 +70,17 @@ class PainnMessage(nn.Module):
                 batch.senders, batch.receivers,
                 batch.node_slot, batch.edge_slot,
             )
-            return s_feat + res_s, v_feat + res_v
+            # zero the padding-slot rows: the kernel lets the trailing
+            # padding-graph block accumulate garbage (excluded from real
+            # slots by the one-hot), but PAINN's update SQUARES magnitudes
+            # layer-over-layer — unmasked, the garbage overflows to inf at
+            # GFM scale and 0 * inf = NaN poisons the masked loss. The
+            # unfused path zeroes these rows via edge_mask; match it.
+            nm = batch.node_mask.astype(res_s.dtype)
+            return (
+                s_feat + res_s * nm[:, None],
+                v_feat + res_v * nm[:, None, None],
+            )
 
         fw = rbf @ wf + bf
         fw = fw * cosine_cutoff(dist, self.cutoff)

@@ -91,6 +91,8 @@ class CFConv(nn.Module):
                 batch.senders, batch.receivers,
                 batch.node_slot, batch.edge_slot,
             )
+            # zero padding-slot garbage rows (see models/painn.py note)
+            out = out * batch.node_mask.astype(out.dtype)[:, None]
             out = nn.Dense(self.out_dim, name="lin2")(out)
             return out, equiv
 
