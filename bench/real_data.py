@@ -88,7 +88,8 @@ def eval_energy_forces(model, cfg, state, loader):
 
 
 def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN",
-           model_neighbors: int = 20, model_radius: float = 2.6):
+           model_neighbors: int = 20, model_radius: float = 2.6,
+           egnn_aggr: str = "sum"):
     from lennard_jones import make_dataset
 
     from hydragnn_tpu.config import update_config
@@ -109,6 +110,7 @@ def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN",
         "NeuralNetwork": {
             "Architecture": {
                 "mpnn_type": mpnn_type,
+                "egnn_aggr": egnn_aggr,
                 "radius": 5.0,
                 "max_neighbours": model_neighbors,
                 "hidden_dim": 64,
@@ -151,8 +153,9 @@ def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN",
         model, cfg, config, *loaders, rng=jax.random.PRNGKey(0)
     )
     metrics = eval_energy_forces(model, cfg, state, loaders[2])
+    tag = f"_{egnn_aggr}" if mpnn_type == "EGNN" else ""
     return {
-        "run": f"LennardJones_{mpnn_type}_energy_force",
+        "run": f"LennardJones_{mpnn_type}{tag}_energy_force",
         "configs": configs,
         "epochs": epochs,
         "model_graph": f"{model_neighbors}nn_r{model_radius}",
@@ -293,13 +296,169 @@ def run_md17_format(epochs: int, samples: int):
     }
 
 
+def make_eam_alloy_dataset(n_configs=600, n_side=3, seed=11):
+    """FCC Ni/Nb solid-solution supercells with the surrogate-EAM energy +
+    ANALYTIC forces (examples/eam/eam.py physics) as direct training
+    targets — the GFM260 objective shape: graph energy + node forces
+    (ref: multibranch_GFM260_SC25.json output type ["graph","node"])."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "examples", "eam")
+    )
+    from eam import NB, NI, eam_energy_forces, fcc_solid_solution
+
+    from hydragnn_tpu.data.neighbors import radius_graph_pbc
+    from hydragnn_tpu.graph import GraphSample
+
+    rng = np.random.RandomState(seed)
+    samples = []
+    for _ in range(n_configs):
+        zs, pos, cell = fcc_solid_solution(rng, n_side=n_side)
+        node_e, forces = eam_energy_forces(zs, pos, cell)
+        # model graph (repair allowed) separate from the physics graph
+        ei, shifts = radius_graph_pbc(
+            pos.astype(np.float32), cell.astype(np.float32), 4.2,
+            max_num_neighbors=24,
+        )
+        n = len(zs)
+        x = (zs == NB).astype(np.float32).reshape(-1, 1)
+        samples.append(GraphSample(
+            x=x,
+            pos=pos.astype(np.float32),
+            edge_index=ei,
+            edge_shifts=shifts,
+            y_graph=np.asarray([node_e.sum() / n], np.float32),
+            y_node=(forces / n).astype(np.float32),
+        ))
+    return samples
+
+
+def eval_direct_heads(model, cfg, state, loader):
+    """Test-set MAEs for the direct graph-energy + node-forces heads."""
+    import jax
+
+    @jax.jit
+    def fwd(state, batch):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False,
+        )
+
+    e_abs = e_cnt = f_abs = f_cnt = 0.0
+    e_true = f_true = 0.0
+    for batch in loader:
+        pred = fwd(state, batch)
+        ge = np.asarray(pred[0])[:, 0]
+        fo = np.asarray(pred[1])
+        gm = np.asarray(batch.graph_mask, np.float64)
+        nm = np.asarray(batch.node_mask, np.float64)[:, None]
+        ey = np.asarray(batch.graph_y)[:, 0]
+        fy = np.asarray(batch.node_y)
+        e_abs += float(np.sum(np.abs(ge - ey) * gm))
+        e_true += float(np.sum(np.abs(ey) * gm))
+        e_cnt += float(gm.sum())
+        f_abs += float(np.sum(np.abs(fo - fy) * nm))
+        f_true += float(np.sum(np.abs(fy) * nm))
+        f_cnt += float(nm.sum() * 3)
+    return {
+        "energy_mae": e_abs / max(e_cnt, 1),
+        "energy_mean_abs": e_true / max(e_cnt, 1),
+        "force_mae": f_abs / max(f_cnt, 1),
+        "force_mean_abs": f_true / max(f_cnt, 1),
+    }
+
+
+def run_gfm_objective(epochs, configs, mpnn_type="EGNN", egnn_aggr="sum",
+                      hidden=128, layers=4):
+    """Direct-force-head training in the GFM260 objective shape on the
+    EAM-alloy dataset (analytic forces). The round-3 VERDICT's top ask:
+    scale the offline accuracy evidence to the ACTUAL flagship objective
+    (graph energy + direct node forces, not -grad E)."""
+    from hydragnn_tpu.config import update_config
+    from hydragnn_tpu.data.dataloader import create_dataloaders, split_dataset
+    from hydragnn_tpu.models.arch import arch_config_from_dict
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.trainer import train_validate_test
+
+    dataset = make_eam_alloy_dataset(configs)
+    train, val, test = split_dataset(dataset, 0.8)
+    config = {
+        "Verbosity": {"level": 0},
+        "NeuralNetwork": {
+            "Architecture": {
+                "mpnn_type": mpnn_type,
+                "egnn_aggr": egnn_aggr,
+                "radius": 4.2,
+                "max_neighbours": 24,
+                "hidden_dim": hidden,
+                "num_conv_layers": layers,
+                "num_gaussians": 32,
+                "num_filters": hidden,
+                "num_radial": 8,
+                "envelope_exponent": 5,
+                "output_heads": {
+                    "graph": {"num_sharedlayers": 2,
+                              "dim_sharedlayers": 50,
+                              "num_headlayers": 2,
+                              "dim_headlayers": [hidden, hidden]},
+                    "node": {"num_headlayers": 2,
+                             "dim_headlayers": [hidden, hidden],
+                             "type": "mlp"},
+                },
+                "task_weights": [1.0, 30.0],
+            },
+            "Variables_of_interest": {
+                "input_node_features": [0],
+                "output_names": ["energy", "forces"],
+                "output_index": [0, 1],
+                "type": ["graph", "node"],
+                "output_dim": [1, 3],
+                "denormalize_output": False,
+            },
+            "Training": {
+                "num_epoch": epochs,
+                "perc_train": 0.8,
+                "batch_size": 16,
+                "Optimizer": {"type": "AdamW", "learning_rate": 0.002},
+            },
+        },
+    }
+    config = update_config(config, train, val, test)
+    loaders = create_dataloaders(train, val, test, batch_size=16)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+    import jax
+
+    state, results = train_validate_test(
+        model, cfg, config, *loaders, rng=jax.random.PRNGKey(0)
+    )
+    metrics = eval_direct_heads(model, cfg, state, loaders[2])
+    tag = f"_{egnn_aggr}" if mpnn_type == "EGNN" else ""
+    return {
+        "run": f"EAMalloy_GFMobjective_{mpnn_type}{tag}",
+        "configs": configs,
+        "epochs": epochs,
+        **{k: round(v, 6) for k, v in metrics.items()},
+        "energy_rel_mae": round(
+            metrics["energy_mae"] / max(metrics["energy_mean_abs"], 1e-12), 4
+        ),
+        "force_rel_mae": round(
+            metrics["force_mae"] / max(metrics["force_mean_abs"], 1e-12), 4
+        ),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--configs", type=int, default=400)
     p.add_argument("--md17_samples", type=int, default=1500)
     p.add_argument("--md17_epochs", type=int, default=40)
-    p.add_argument("--only", choices=["lj", "md17"], default=None)
+    p.add_argument("--only", choices=["lj", "md17", "gfm", "aggr"],
+                   default=None)
+    p.add_argument("--gfm_epochs", type=int, default=80)
+    p.add_argument("--gfm_configs", type=int, default=600)
     args = p.parse_args()
 
     if args.only in (None, "lj"):
@@ -309,6 +468,21 @@ def main():
             json.dumps(run_md17_format(args.md17_epochs, args.md17_samples)),
             flush=True,
         )
+    if args.only in (None, "gfm"):
+        # the GFM260 objective (graph energy + DIRECT node forces) on
+        # generated EAM-alloy physics: flagship EGNN + sum/mean ablation
+        # + SchNet control (round-3 VERDICT items 1b + weak 3)
+        for mpnn, aggr in (("EGNN", "sum"), ("EGNN", "mean"),
+                           ("SchNet", "sum")):
+            print(json.dumps(run_gfm_objective(
+                args.gfm_epochs, args.gfm_configs, mpnn, aggr,
+            )), flush=True)
+    if args.only == "aggr":
+        # -grad E (compute_grad_energy) LJ force ablation: EGNN sum vs
+        # mean aggregation at high degree (round-3 weak #3 control)
+        for aggr in ("sum", "mean"):
+            r = run_lj(args.epochs, args.configs, "EGNN", egnn_aggr=aggr)
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

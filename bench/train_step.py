@@ -26,24 +26,34 @@ import numpy as np
 
 
 def build_batch(n_graphs, n, deg, seed, dense_adj=False, slotted=False,
-                forces=False):
+                forces=False, multibranch=False):
     from hydragnn_tpu.graph import GraphSample, collate
 
     rng = np.random.RandomState(seed)
     samples = []
     recv = np.repeat(np.arange(n, dtype=np.int64), deg)
-    for _ in range(n_graphs):
+    for g in range(n_graphs):
         send = rng.randint(0, n, n * deg)
         samples.append(
             GraphSample(
                 x=rng.randn(n, 1).astype(np.float32),
                 pos=rng.randn(n, 3).astype(np.float32),
                 edge_index=np.stack([send, recv]),
-                y_graph=(None if forces
-                         else rng.randn(1).astype(np.float32)),
+                y_graph=(
+                    None if forces
+                    else np.concatenate(
+                        [rng.randn(1), rng.randn(0)]
+                    ).astype(np.float32)
+                    if not multibranch
+                    else rng.randn(1).astype(np.float32)
+                ),
+                y_node=(rng.randn(n, 3).astype(np.float32)
+                        if multibranch else None),
                 energy=(np.float32(rng.randn()) if forces else None),
                 forces=(rng.randn(n, 3).astype(np.float32)
                         if forces else None),
+                # graphs round-robin across the 5 dataset branches
+                dataset_id=(g % 5) if multibranch else 0,
             )
         )
     if dense_adj:
@@ -113,6 +123,14 @@ def main():
     p.add_argument("--dense_adj", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="slotted collate + fused Pallas edge kernel")
+    p.add_argument("--multibranch", action="store_true",
+                   help="the SC25 GFM260 5-branch configuration: 5 graph "
+                        "(energy) + 5 node (forces) branches with 3x889 "
+                        "heads, graphs mixed across 5 dataset ids "
+                        "(ref: multibranch_GFM260_SC25.json:166-225)")
+    p.add_argument("--equivariant", action="store_true",
+                   help="EGNN coordinate updates on (the SC25 config sets "
+                        "equivariance=true; disables the fused kernel)")
     p.add_argument("--forces", action="store_true",
                    help="energy-force training step (compute_grad_energy: "
                         "grad-of-grad through the conv stack)")
@@ -132,22 +150,41 @@ def main():
     )
 
     # force training predicts per-node energies via a node head
-    # (ref: Base.energy_force_loss + tests/test_forces.py config)
+    # (ref: Base.energy_force_loss + tests/test_forces.py config).
+    # --multibranch: the SC25 GFM260 decoder set — 5 graph (energy;
+    # shared 2x50, head 3x889) + 5 node (forces, 3x889) branches
+    # (ref: multibranch_GFM260_SC25.json:166-225)
+    if args.multibranch:
+        out_dim, out_type = (1, 3), ("graph", "node")
+        gb = tuple(
+            BranchConfig(f"branch-{i}", 2, 50, 3, (889, 889, 889))
+            for i in range(5)
+        )
+        nb = tuple(
+            BranchConfig(f"branch-{i}", 0, 0, 3, (889, 889, 889),
+                         head_nn_type="mlp")
+            for i in range(5)
+        )
+    else:
+        out_dim = (1,)
+        out_type = ("node",) if args.forces else ("graph",)
+        gb = (
+            () if args.forces
+            else (BranchConfig("branch-0", 2, 50, 2, (50, 25)),)
+        )
+        nb = (
+            (BranchConfig("branch-0", 0, 0, 2, (50, 25),
+                          head_nn_type="mlp"),)
+            if args.forces else ()
+        )
     cfg = ArchConfig(
         mpnn_type=args.mpnn_type,
         input_dim=1,
         hidden_dim=args.hidden,
-        output_dim=(1,),
-        output_type=("node",) if args.forces else ("graph",),
-        graph_branches=(
-            () if args.forces
-            else (BranchConfig("branch-0", 2, 50, 2, (50, 25)),)
-        ),
-        node_branches=(
-            (BranchConfig("branch-0", 0, 0, 2, (50, 25),
-                          head_nn_type="mlp"),)
-            if args.forces else ()
-        ),
+        output_dim=out_dim,
+        output_type=out_type,
+        graph_branches=gb,
+        node_branches=nb,
         num_conv_layers=args.layers,
         num_nodes=args.nodes,
         max_neighbours=args.deg,
@@ -156,6 +193,8 @@ def main():
         envelope_exponent=5,
         num_gaussians=10,
         num_filters=args.hidden,
+        equivariance=args.equivariant,
+        task_weights=(1.0,) * len(out_dim),
         # harness graphs have exactly `deg` in-edges per node
         pna_deg=(0,) * args.deg + (args.graphs * args.nodes,),
     )
@@ -163,7 +202,7 @@ def main():
     batches = [
         build_batch(args.graphs, args.nodes, args.deg, seed=s,
                     dense_adj=args.dense_adj, slotted=args.fused,
-                    forces=args.forces)
+                    forces=args.forces, multibranch=args.multibranch)
         for s in range(args.steps)
     ]
     E = batches[0].senders.shape[0]
@@ -195,7 +234,12 @@ def main():
         state, losses = epoch(state, stacked, rng)
         lsum = float(np.asarray(losses).sum())  # host fetch = completion
         dt = (time.perf_counter() - t0) / args.steps
-        salt = int(abs(lsum) * 1e6) % (1 << 30)
+        # untrained-init magnitude blowup can NaN the loss on synthetic
+        # random data (PAINN's un-normalized vector channel compounds with
+        # degree); the TIMING stays valid — FLOPs are value-independent —
+        # so tolerate it and flag it in the JSON
+        salt = (int(abs(lsum) * 1e6) % (1 << 30)
+                if np.isfinite(lsum) else trial)
         tag = "compile+warm" if trial == 0 else f"trial {trial}"
         print(f"{tag:14s} {dt*1e3:8.2f} ms/step  loss_sum={lsum:.5f}",
               flush=True)
@@ -215,6 +259,14 @@ def main():
     flops_step = model_flops_per_step(
         args.mpnn_type, args.hidden, args.layers, N, E
     )
+    if args.multibranch and flops_step:
+        # decoder-branch matmuls (all 5 branches computed densely and
+        # branch-masked): graph shared 2x50 + 3x889 head; node 3x889
+        H, G_, N_ = args.hidden, args.graphs, N
+        graph_head = G_ * (H * 50 + 50 * 50 + 50 * 889
+                           + 889 * 889 * 2 + 889 * 1)
+        node_head = N_ * (H * 889 + 889 * 889 * 2 + 889 * 3)
+        flops_step += 2 * 5 * (graph_head + node_head) * 3
     if args.forces and flops_step:
         # force training ~= 7/3 of a plain step's matmul FLOPs: plain =
         # fwd(1) + bwd(2); forces = inner fwd(1) + inner pos-bwd(2) +
@@ -239,6 +291,7 @@ def main():
 
         print(json.dumps({
             "ms_per_step": round(best * 1e3, 3),
+            "loss_finite": bool(np.isfinite(lsum)),
             "n_trials": len(trial_dts),
             "trial_ms_per_step": [round(d * 1e3, 3) for d in trial_dts],
             "stdev_ms_per_step": round(float(np.std(trial_dts)) * 1e3, 3),
@@ -254,7 +307,9 @@ def main():
             "shape": f"{args.mpnn_type} h{args.hidden} L{args.layers} "
                      f"B={args.graphs}x{args.nodes} E={E} "
                      f"{'bf16' if args.bf16 else 'fp32'}"
-                     f"{' forces' if args.forces else ''}",
+                     f"{' forces' if args.forces else ''}"
+                     f"{' multibranch5' if args.multibranch else ''}"
+                     f"{' equivariant' if args.equivariant else ''}",
         }))
         return
     mfu_str = (

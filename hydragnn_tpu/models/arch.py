@@ -40,6 +40,12 @@ class ArchConfig:
     global_attn_type: Optional[str] = None
     global_attn_heads: int = 0
     equivariance: bool = False
+    # EGNN message aggregation: "sum" (reference semantics,
+    # EGCLStack.py:292-298 unsorted_segment_sum) or "mean" — a
+    # beyond-reference ablation knob: sum aggregation degrades force
+    # accuracy at high node degree (round-3 real-data table; the mean
+    # control was the round-3 VERDICT's explicit ask)
+    egnn_aggr: str = "sum"
     num_nodes: Optional[int] = None
     max_neighbours: Optional[int] = None
     edge_dim: Optional[int] = None
@@ -143,6 +149,7 @@ def arch_config_from_dict(nn_config: Dict[str, Any]) -> ArchConfig:
         global_attn_type=arch.get("global_attn_type") or None,
         global_attn_heads=int(arch.get("global_attn_heads") or 0),
         equivariance=bool(arch.get("equivariance", False)),
+        egnn_aggr=arch.get("egnn_aggr", "sum"),
         num_nodes=arch.get("num_nodes"),
         max_neighbours=arch.get("max_neighbours"),
         edge_dim=arch.get("edge_dim"),

@@ -101,6 +101,7 @@ class E_GCL(nn.Module):
     edge_dim: int = 0
     equivariant: bool = False
     tanh: bool = True
+    aggr: str = "sum"  # "mean": beyond-reference ablation (ArchConfig)
 
     @nn.compact
     def __call__(self, inv, equiv, batch: GraphBatch, ctx, train: bool = False):
@@ -174,6 +175,12 @@ class E_GCL(nn.Module):
             # unchecked they can overflow across layers and NaN-poison the
             # masked loss; the unfused path zeroes them via edge_mask)
             agg = agg * batch.node_mask.astype(agg.dtype)[:, None]
+            if self.aggr == "mean":
+                from hydragnn_tpu.ops.segment import degree
+
+                deg = degree(s, N, mask=batch.edge_mask,
+                             indices_are_sorted=False)
+                agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(agg.dtype)
             h = jnp.concatenate([inv, agg], axis=-1)
             h = jax.nn.relu(nn.Dense(self.hidden_dim, name="node_mlp_0")(h))
             h = nn.Dense(self.out_dim, name="node_mlp_1")(h)
@@ -207,6 +214,12 @@ class E_GCL(nn.Module):
             m, s, N, batch.edge_perm_by_sender,
             batch.edge_perm_by_sender_inv,
         )
+        if self.aggr == "mean":
+            from hydragnn_tpu.ops.segment import degree
+
+            deg = degree(s, N, mask=batch.edge_mask,
+                         indices_are_sorted=False)
+            agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(agg.dtype)
         h = jnp.concatenate([inv, agg], axis=-1)
         h = jax.nn.relu(nn.Dense(self.hidden_dim, name="node_mlp_0")(h))
         h = nn.Dense(self.out_dim, name="node_mlp_1")(h)
@@ -224,6 +237,7 @@ class EGCLStack(HydraBase):
             hidden_dim=self.cfg.hidden_dim,
             edge_dim=edge_dim or 0,
             equivariant=self.cfg.equivariance and not last_layer,
+            aggr=getattr(self.cfg, "egnn_aggr", "sum"),
             name=name,
         )
 
