@@ -14,6 +14,7 @@ One JSON line per variant.
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -50,11 +51,17 @@ def main():
     x16 = x32.astype(jnp.bfloat16)
 
     ref = None
-    for chunk in (128, 256, 512):
-        for pack in (True, False):
-            bc = build_bcsr(send, recv, None, n, chunk=chunk, pack=pack)
+    configs = [
+        (256, True, 512), (256, False, 512),
+        (512, True, 512), (512, False, 512),
+        (256, False, 1024), (512, False, 1024),
+    ]
+    for chunk, pack, block in configs:
+            bc = build_bcsr(send, recv, None, n, block=block, chunk=chunk,
+                            pack=pack)
             if bc is None:
                 print(json.dumps({"chunk": chunk, "pack": pack,
+                                  "block": block,
                                   "skipped": "build rejected"}))
                 continue
             d = bc.fwd
@@ -63,12 +70,13 @@ def main():
             for label, x, passes in (
                 ("bf16x1", x16, 1), ("fp32x2", x32, 2)
             ):
-                fn = lambda v, d=d, p=passes: bcsr_matmul(d, v, p)
-
-                @jax.jit
-                def loop(v, fn=fn):
+                # tiles must be jit ARGUMENTS: closed-over device arrays
+                # become embedded constants and overflow the remote-compile
+                # payload (HTTP 413) for dense tile sets
+                @functools.partial(jax.jit, static_argnums=(2,))
+                def loop(v, dd, p):
                     def body(v, _):
-                        out = fn(v)[: v.shape[0]]
+                        out = bcsr_matmul(dd, v, p)[: v.shape[0]]
                         return (
                             v * (np.float32(1.0)
                                  + out[0, 0].astype(jnp.float32)
@@ -78,7 +86,7 @@ def main():
 
                     return jax.lax.scan(body, v, None, length=args.iters)
 
-                r = loop(x)
+                r = loop(x, d, passes)
                 out0 = float(np.asarray(r[1])[0])
                 if ref is None and label == "fp32x2":
                     ref = out0
@@ -93,12 +101,13 @@ def main():
                     )
                     jax.block_until_ready(arg)
                     t0 = time.perf_counter()
-                    r = loop(arg)
+                    r = loop(arg, d, passes)
                     float(np.asarray(r[1])[-1])
                     dts.append((time.perf_counter() - t0) / args.iters)
                 dt = min(dts)
                 print(json.dumps({
-                    "chunk": chunk, "pack": pack, "dtype": label,
+                    "chunk": chunk, "pack": pack, "block": block,
+                    "dtype": label,
                     "tiles": tiles, "tile_mb": round(tile_mb, 1),
                     "ms": round(dt * 1e3, 3),
                     "medges_per_s": round(e / dt / 1e6, 1),
