@@ -94,10 +94,14 @@ def measure_giant() -> dict:
     def loop(v, b):
         def body(v, _):
             out = bcsr_spmm(v, b, 2)
-            return (
-                v * (np.float32(1.0) + out[0, 0] * np.float32(1e-38)),
-                out[0, 0],
+            # 1-element in-place chain on the scan carry: keeps the
+            # iteration data-dependent WITHOUT a full [N, F] elementwise
+            # pass (which added ~0.3-0.4 ms/iter of pure HBM traffic to
+            # every round-3 giant measurement)
+            v = jax.lax.dynamic_update_slice(
+                v, v[:1, :1] + out[:1, :1] * np.float32(1e-38), (0, 0)
             )
+            return v, out[0, 0]
 
         return jax.lax.scan(body, v, None, length=iters)
 
@@ -121,11 +125,12 @@ def measure_giant() -> dict:
     def loop16(v, b):
         def body(v, _):
             out = bcsr_spmm(v, b, 1)
-            return (
-                v * (np.float32(1.0) + out[0, 0].astype(jnp.float32)
-                     * np.float32(1e-38)).astype(v.dtype),
-                out[0, 0],
+            v = jax.lax.dynamic_update_slice(
+                v, (v[:1, :1].astype(jnp.float32)
+                    + out[:1, :1].astype(jnp.float32)
+                    * np.float32(1e-38)).astype(v.dtype), (0, 0)
             )
+            return v, out[0, 0]
 
         return jax.lax.scan(body, v, None, length=iters)
 
@@ -383,6 +388,25 @@ def main():
             "mfu_vs_measured_peak"
         )
         result["train_step_shape"] = ts.get("shape")
+        print(json.dumps(result), flush=True)
+    # the SC25 composed workload: GFM260 5+5-branch decoder set on the
+    # same conv stack (round-4; bench/results/train_step_r4.md)
+    mb = _run_json(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(here), "bench", "train_step.py"),
+            "--json", "--hidden", "866", "--bf16", "--fused",
+            "--multibranch", "--steps", "8", "--trials", "2",
+        ],
+        1500,
+    )
+    if mb:
+        result["multibranch_step_ms"] = mb.get("ms_per_step")
+        result["multibranch_mfu"] = mb.get("mfu_vs_spec_peak")
+        result["multibranch_mfu_vs_measured_peak"] = mb.get(
+            "mfu_vs_measured_peak"
+        )
+        result["multibranch_trial_ms"] = mb.get("trial_ms_per_step")
         print(json.dumps(result), flush=True)
 
 

@@ -52,9 +52,9 @@ def main():
 
     ref = None
     configs = [
-        (256, True, 512), (256, False, 512),
-        (512, True, 512), (512, False, 512),
-        (256, False, 1024), (512, False, 1024),
+        (512, True, 512),
+        (1024, True, 512), (1024, True, 1024),
+        (2048, True, 512),
     ]
     for chunk, pack, block in configs:
             bc = build_bcsr(send, recv, None, n, block=block, chunk=chunk,
@@ -77,12 +77,14 @@ def main():
                 def loop(v, dd, p):
                     def body(v, _):
                         out = bcsr_matmul(dd, v, p)[: v.shape[0]]
-                        return (
-                            v * (np.float32(1.0)
-                                 + out[0, 0].astype(jnp.float32)
-                                 * np.float32(1e-38)).astype(v.dtype),
-                            out[0, 0],
+                        # 1-element in-place chain (see bench.py note)
+                        v = jax.lax.dynamic_update_slice(
+                            v, (v[:1, :1].astype(jnp.float32)
+                                + out[:1, :1].astype(jnp.float32)
+                                * np.float32(1e-38)).astype(v.dtype),
+                            (0, 0),
                         )
+                        return v, out[0, 0]
 
                     return jax.lax.scan(body, v, None, length=args.iters)
 

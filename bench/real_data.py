@@ -328,8 +328,12 @@ def make_eam_alloy_dataset(n_configs=600, n_side=3, seed=11):
             pos=pos.astype(np.float32),
             edge_index=ei,
             edge_shifts=shifts,
+            # energy per atom (keeps the extensive target O(1)); forces
+            # RAW — scaling them by 1/n buried the force signal under the
+            # MSE floor and the head learned exactly zero (first campaign
+            # run: force MAE == mean |F|)
             y_graph=np.asarray([node_e.sum() / n], np.float32),
-            y_node=(forces / n).astype(np.float32),
+            y_node=forces.astype(np.float32),
         ))
     return samples
 

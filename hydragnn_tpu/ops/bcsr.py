@@ -54,8 +54,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 512  # output rows per tile (v5e sweet spot, bench/giant_graph r2)
-CHUNK = 256  # sender columns per tile (r3 sweep: 2.41 ms vs 2.62 ms at 128
-# on the 131k/1M lattice — fewer tiles amortize per-tile control/DMA)
+CHUNK = 512  # sender columns per tile (r4 sweep, 131k/1M lattice: 1.70 ms
+# bf16 / 2.31 ms fp32x2 vs 1.86 / 2.41 at 256 — fewer tiles amortize
+# per-tile control/DMA; 1024 is flat; pre-splitting x into stacked bf16
+# terms measured WORSE (strided P-major DMA), bench/bcsr_sweep.py)
 X_PASSES = 3  # bf16 mantissa terms for fp32 x (3 = exact)
 F_TILE_MAX = 512  # widest feature tile per grid step (VMEM bound)
 
@@ -64,7 +66,13 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-RING = 32  # x-chunk ring slots in VMEM (ring path; covers RING*C sender rows)
+RING = 32  # default x-chunk ring slots; adaptive: max(4, 8192 // chunk)
+# so the [ring, C, ft] VMEM buffer stays ~4 MB while covering >= 8192
+# sender rows (well past any RCM band this kernel targets)
+
+
+def _ring_slots(chunk: int) -> int:
+    return max(4, min(RING, 8192 // max(chunk, 1)))
 
 
 @struct.dataclass
@@ -90,6 +98,8 @@ class BCSRDir:
     num_blocks: int = struct.field(pytree_node=False)  # static padded rows/B
     block: int = struct.field(pytree_node=False)  # B (dense tile rows)
     packed: bool = struct.field(pytree_node=False)  # a is bit-planes
+    # ring slots the dma_flag simulation assumed (kernel must match)
+    ring: int = struct.field(pytree_node=False, default=RING)
 
 
 @struct.dataclass
@@ -165,16 +175,17 @@ def _build_one_direction(
     row_ptr = np.searchsorted(all_rb, np.arange(nb + 1)).astype(np.int32)
 
     # x-chunk ring-cache miss flags (host simulation of the kernel's ring)
+    ring = _ring_slots(chunk)
     flags = np.zeros(t, np.int32)
-    owner = np.full(RING, -1, np.int64)
+    owner = np.full(ring, -1, np.int64)
     for i in range(t):
         c = int(all_cb[i])
-        sl = c % RING
+        sl = c % ring
         if owner[sl] != c:
             flags[i] = 1
             owner[sl] = c
             # prefetch at tile i-1 would clobber the slot tile i-1 reads
-            if i > 0 and all_cb[i - 1] % RING == sl and all_cb[i - 1] != c:
+            if i > 0 and all_cb[i - 1] % ring == sl and all_cb[i - 1] != c:
                 flags[i] = 2
             # first tile of a block is DMA'd at block entry, never early
     return BCSRDir(
@@ -186,6 +197,7 @@ def _build_one_direction(
         num_blocks=nb,
         block=block,
         packed=packed,
+        ring=ring,
     )
 
 
@@ -264,9 +276,10 @@ def _bcsr_ring_kernel(
     nbuf: int,
     packed: bool,
     n_t: int,
+    ring: int = RING,
 ):
     """Ring-cached variant: x chunks live in a VMEM ring (slot = chunk %
-    RING) persisting across row blocks, so each chunk is DMA'd ~once per
+    ring) persisting across row blocks, so each chunk is DMA'd ~once per
     layer instead of once per referencing tile. Misses are host-precomputed
     (dma_flag): flag 1 prefetches one tile ahead, flag 2 DMAs synchronously
     (its prefetch would clobber the slot the previous tile still reads)."""
@@ -281,7 +294,7 @@ def _bcsr_ring_kernel(
         )
 
     def x_dma(t):
-        sl = jax.lax.rem(chunk_ref[t], RING)
+        sl = jax.lax.rem(chunk_ref[t], ring)
         return pltpu.make_async_copy(
             x_ref.at[pl.ds(chunk_ref[t] * c, c), :],
             x_ring.at[sl],
@@ -320,7 +333,7 @@ def _bcsr_ring_kernel(
             x_dma(t).start()
 
         a_dma(slot, t).wait()
-        sl = jax.lax.rem(chunk_ref[t], RING)
+        sl = jax.lax.rem(chunk_ref[t], ring)
 
         @pl.when(flag_ref[t] >= 1)
         def _():
@@ -490,15 +503,15 @@ def bcsr_matmul(
             scratch_shapes=[
                 pltpu.VMEM((b, ft), jnp.float32),
                 pltpu.VMEM((nbuf,) + d.a.shape[1:], d.a.dtype),
-                pltpu.VMEM((RING, c, ft), x.dtype),
+                pltpu.VMEM((d.ring, c, ft), x.dtype),
                 pltpu.SemaphoreType.DMA((nbuf,)),
-                pltpu.SemaphoreType.DMA((RING,)),
+                pltpu.SemaphoreType.DMA((d.ring,)),
             ],
         )
         return pl.pallas_call(
             functools.partial(
                 _bcsr_ring_kernel, x_passes=x_passes, nbuf=nbuf,
-                packed=d.packed, n_t=t,
+                packed=d.packed, n_t=t, ring=d.ring,
             ),
             out_shape=jax.ShapeDtypeStruct((d.num_blocks * b, f), x.dtype),
             grid_spec=grid_spec,
