@@ -89,7 +89,7 @@ def eval_energy_forces(model, cfg, state, loader):
 
 def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN",
            model_neighbors: int = 20, model_radius: float = 2.6,
-           egnn_aggr: str = "sum"):
+           egnn_aggr: str = "sum", edge_slot=None):
     from lennard_jones import make_dataset
 
     from hydragnn_tpu.config import update_config
@@ -144,7 +144,8 @@ def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN",
         },
     }
     config = update_config(config, train, val, test)
-    loaders = create_dataloaders(train, val, test, batch_size=16)
+    loaders = create_dataloaders(train, val, test, batch_size=16,
+                                 edge_slot=edge_slot)
     cfg = arch_config_from_dict(config["NeuralNetwork"])
     model = create_model(cfg)
     import jax
@@ -154,6 +155,8 @@ def run_lj(epochs: int, configs: int, mpnn_type: str = "EGNN",
     )
     metrics = eval_energy_forces(model, cfg, state, loaders[2])
     tag = f"_{egnn_aggr}" if mpnn_type == "EGNN" else ""
+    if edge_slot is not None:
+        tag += "_fusedslot"
     return {
         "run": f"LennardJones_{mpnn_type}{tag}_energy_force",
         "configs": configs,
@@ -322,7 +325,15 @@ def make_eam_alloy_dataset(n_configs=600, n_side=3, seed=11):
             max_num_neighbors=24,
         )
         n = len(zs)
-        x = (zs == NB).astype(np.float32).reshape(-1, 1)
+        # species one-hot + CARTESIAN COORDINATES as input features — the
+        # reference GFM260 config feeds coordinates as node features 1-3
+        # (multibranch_GFM260_SC25.json input_node_features [0,1,2,3]);
+        # without them a DIRECT force head on invariant features has no
+        # directional information and provably learns zero
+        x = np.concatenate(
+            [(zs == NB).astype(np.float32).reshape(-1, 1),
+             pos.astype(np.float32)], axis=1,
+        )
         samples.append(GraphSample(
             x=x,
             pos=pos.astype(np.float32),
@@ -413,7 +424,7 @@ def run_gfm_objective(epochs, configs, mpnn_type="EGNN", egnn_aggr="sum",
                 "task_weights": [1.0, 30.0],
             },
             "Variables_of_interest": {
-                "input_node_features": [0],
+                "input_node_features": [0, 1, 2, 3],
                 "output_names": ["energy", "forces"],
                 "output_index": [0, 1],
                 "type": ["graph", "node"],
@@ -459,7 +470,8 @@ def main():
     p.add_argument("--configs", type=int, default=400)
     p.add_argument("--md17_samples", type=int, default=1500)
     p.add_argument("--md17_epochs", type=int, default=40)
-    p.add_argument("--only", choices=["lj", "md17", "gfm", "aggr"],
+    p.add_argument("--only",
+                   choices=["lj", "md17", "gfm", "aggr", "lj_fused"],
                    default=None)
     p.add_argument("--gfm_epochs", type=int, default=80)
     p.add_argument("--gfm_configs", type=int, default=600)
@@ -480,6 +492,15 @@ def main():
                            ("SchNet", "sum")):
             print(json.dumps(run_gfm_objective(
                 args.gfm_epochs, args.gfm_configs, mpnn, aggr,
+            )), flush=True)
+    if args.only == "lj_fused":
+        # end-to-end validation of the SECOND-ORDER fused kernels on real
+        # physics: the edge-slotted collate routes force training through
+        # the fused custom-VJP chain on TPU (round-4) — accuracy must
+        # match the unfused round-3 numbers
+        for mpnn in ("SchNet", "EGNN"):
+            print(json.dumps(run_lj(
+                args.epochs, args.configs, mpnn, edge_slot="auto",
             )), flush=True)
     if args.only == "aggr":
         # -grad E (compute_grad_energy) LJ force ablation: EGNN sum vs
