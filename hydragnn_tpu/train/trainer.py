@@ -158,6 +158,10 @@ def make_loss_fn(model: HydraBase, cfg: ArchConfig, compute_grad_energy: bool,
             # probe with the second-order flag set: True only when a
             # kernel family declares a differentiable backward
             two_pass = _use_fused_edge_kernel(batch, second_order_ok=True)
+        # debugging/ablation override: force either structure
+        _tp_env = os.getenv("HYDRAGNN_FORCE_TWO_PASS")
+        if _tp_env is not None:
+            two_pass = _tp_env != "0"
 
         # mixed precision (bf16 compute, fp32 master params/loss) applies
         # to both force structures — the GFM force objective trains bf16
