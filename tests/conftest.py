@@ -100,6 +100,8 @@ _SLOW = {
     "test_edge_slot_sorted.py::test_fused_second_order_force_grads_match_unfused",
     "test_edge_slot_sorted.py::test_force_grads_slotted_matches_plain",
     "test_pipeline_parallel.py::test_pipelined_pna_with_batchnorm_matches_sequential",
+    "test_forces.py::test_two_pass_loss_structure_matches_aux",
+    "test_forces.py::test_mixed_precision_force_training_finite",
 }
 
 

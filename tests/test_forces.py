@@ -239,3 +239,76 @@ def test_scan_eval_energy_mode_matches(lj_data):
     b = evaluate_scanned(batches, state, scan_fn, chunk=2)
     for xa, xb in zip(a, b):
         np.testing.assert_allclose(xa, xb, rtol=1e-5)
+
+
+def test_two_pass_loss_structure_matches_aux(lj_data, monkeypatch):
+    """The two force-loss structures (aux: pred rides the inner pos-grad;
+    two-pass: separate forward for the energy term) are the same math —
+    grads must match on CPU where both run the same fp32 kernels.
+    (On TPU they differ only by XLA fusion/precision choices — audited in
+    bench/results/real_data_r4.md.)"""
+    config = _config(num_epoch=1)
+    train, val, test = split_dataset(lj_data, 0.8)
+    config = update_config(config, train, val, test)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+    batch = collate(train[:4])
+    from hydragnn_tpu.train.trainer import TrainState  # noqa: F401
+    opt = select_optimizer(config["NeuralNetwork"]["Training"])
+    state = init_state(model, batch, opt)
+    loss_fn = make_loss_fn(model, cfg, compute_grad_energy=True)
+
+    out = {}
+    for name, flag in (("aux", "0"), ("two_pass", "1")):
+        monkeypatch.setenv("HYDRAGNN_FORCE_TWO_PASS", flag)
+        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, jax.random.PRNGKey(0),
+            True,
+        )
+        out[name] = (float(l), jax.tree_util.tree_map(np.asarray, g))
+    np.testing.assert_allclose(out["aux"][0], out["two_pass"][0], rtol=1e-6)
+    for (p, ga), gb in zip(
+        jax.tree_util.tree_leaves_with_path(out["aux"][1]),
+        jax.tree_util.tree_leaves(out["two_pass"][1]),
+    ):
+        np.testing.assert_allclose(
+            ga, gb, rtol=1e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(p),
+        )
+
+
+def test_mixed_precision_force_training_finite(lj_data):
+    """bf16 force training (both loss structures route through the
+    mixed-precision cast path added in round 4): loss + grads finite and
+    within bf16 distance of the fp32 result."""
+    config = _config(num_epoch=1)
+    config["NeuralNetwork"]["Training"]["mixed_precision"] = "bf16"
+    train, val, test = split_dataset(lj_data, 0.8)
+    config = update_config(config, train, val, test)
+    cfg = arch_config_from_dict(config["NeuralNetwork"])
+    model = create_model(cfg)
+    batch = collate(train[:4])
+    opt = select_optimizer(config["NeuralNetwork"]["Training"])
+    state = init_state(model, batch, opt)
+
+    from hydragnn_tpu.train.trainer import make_loss_fn as mk
+
+    (l16, _), g16 = jax.value_and_grad(
+        mk(model, cfg, True, mixed_precision=True), has_aux=True
+    )(state.params, state.batch_stats, batch, jax.random.PRNGKey(0), True)
+    (l32, _), g32 = jax.value_and_grad(
+        mk(model, cfg, True, mixed_precision=False), has_aux=True
+    )(state.params, state.batch_stats, batch, jax.random.PRNGKey(0), True)
+    assert np.isfinite(float(l16))
+    assert all(
+        bool(jnp.isfinite(a).all()) for a in jax.tree_util.tree_leaves(g16)
+    )
+    # bf16 compute: loose agreement with fp32 (relative loss scale)
+    assert abs(float(l16) - float(l32)) < 0.1 * abs(float(l32)) + 1e-3
+    # master grads must come back fp32
+    assert all(
+        a.dtype == np.float32
+        for a in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, g16)
+        )
+    )
