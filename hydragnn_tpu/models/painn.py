@@ -50,15 +50,23 @@ class PainnMessage(nn.Module):
         h = jax.nn.silu(h)
         h = nn.Dense(ns * 3, name="scalar_mlp_1")(h)
 
+        from hydragnn_tpu.ops.pallas_painn import second_order_supported
+
         if (
             (self.edge_dim is None or e_attr is None)
-            and _use_fused_edge_kernel(batch)
+            and _use_fused_edge_kernel(
+                batch,
+                second_order_ok=second_order_supported(
+                    self.node_size, s_feat.dtype
+                ),
+            )
         ):
             # whole message chain (filter Dense x cutoff, h/v gathers,
             # gating, vector assembly, both sender segment-sums) in one
             # per-graph-block Pallas kernel; [E, 3F] intermediates never
-            # touch HBM (ops/pallas_painn.py). First-order only: force
-            # training falls back to the unfused path below.
+            # touch HBM (ops/pallas_painn.py). Second-order capable up to
+            # the VMEM gate (second_order_supported): force training keeps
+            # the fused chain at accuracy-relevant widths.
             from hydragnn_tpu.ops.pallas_painn import painn_message_fused
 
             cutw = cosine_cutoff(dist, self.cutoff)[:, 0]

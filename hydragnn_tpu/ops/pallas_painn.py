@@ -29,9 +29,11 @@ out_v[n] = sum over the same edges of msg_v_e, where
   msg_v[d*F+f] = v_flat[receivers[e], d*F+f] * gate_v[f]
                  + gate_e[f] * diffn_e[d]
 
-Backward (custom VJP) recomputes the forward per chunk. First-order only:
-PAINN force training falls back to the unfused path (second_order_ok is
-not declared at the model call site).
+Backward (custom VJP) recomputes the forward per chunk; the backward is
+itself a custom-VJP op whose backward is a second-order kernel
+(_bwd2_kernel, round 4) — the whole chain is bilinear gating, so the
+adjoint algebra has no transcendental second-order terms at all. Force
+training keeps the fused message kernel.
 """
 
 from __future__ import annotations
@@ -236,8 +238,221 @@ def _bwd_kernel(
     dbf_ref[:] += dbf_part
 
 
+def _bwd2_kernel(
+    s_ref, r_ref, rbf_ref, cut_ref, diff_ref, h_ref, v_ref, wf_ref, bf_ref,
+    us_ref,      # [S, Fp] first-order cotangent of out_s (f32)
+    uv_ref,      # [S, 3Fp] first-order cotangent of out_v
+    vdh_ref,     # [S, 3Fp] cotangent of dh
+    vdv_ref,     # [S, 3Fp] cotangent of dv
+    vdrbf_ref,   # [ET, NR]
+    vdcut_ref,   # [ET, 1]
+    vddiff_ref,  # [ET, 3]
+    vdwf_ref,    # [NR, 3Fp]
+    vdbf_ref,    # [1, 3Fp]
+    ch_ref,      # [S, 3Fp] f32 out (acc k): cotangent of h
+    cv_ref,      # [S, 3Fp] f32 out (acc k): cotangent of v
+    crbf_ref,    # [ET, NR] f32 out
+    ccut_ref,    # [ET, 1] f32 out
+    cdiff_ref,   # [ET, 3] f32 out
+    cwf_ref,     # [NR, 3Fp] f32 out (acc all)
+    cbf_ref,     # [1, 3Fp] f32 out (acc all)
+    cus_ref,     # [S, Fp] f32 out (acc k): cotangent of us
+    cuv_ref,     # [S, 3Fp] f32 out (acc k): cotangent of uv
+    *,
+    S: int,
+    ET: int,
+    Fp: int,
+):
+    """VJP of the backward map B (``_bwd_kernel``) — grad-of-grad support.
+    The PaiNN message chain is pure bilinear gating (products of pairs of
+    values), so B is bilinear in (inputs, cotangents) and its VJP needs
+    only the recomputed values — no transcendental second-order terms."""
+    g = pl.program_id(0)
+    k = pl.program_id(1)
+    dt = h_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sub = ET // LANES
+    oh_s = _onehot(_chunk_ids(s_ref, k, sub), S, g * S, ET, dt)
+    oh_r = _onehot(_chunk_ids(r_ref, k, sub), S, g * S, ET, dt)
+    cdims = (((0,), (0,)), ((), ()))
+    scatter = (((1,), (0,)), ((), ()))
+    ll = (((1,), (1,)), ((), ()))
+
+    # ---- recompute forward values
+    cut = cut_ref[:].astype(jnp.float32)
+    z = (
+        jnp.dot(rbf_ref[:], wf_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
+        + bf_ref[:].astype(jnp.float32)
+    )
+    fw = z * cut
+    gh = jax.lax.dot_general(
+        oh_r, h_ref[:], cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    fo = fw * gh
+    gate_v = fo[:, :Fp]
+    gate_e = fo[:, Fp : 2 * Fp]
+    gv = jax.lax.dot_general(
+        oh_r, v_ref[:], cdims, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    diff = diff_ref[:].astype(jnp.float32)
+
+    # ---- recompute B's intermediates (values)
+    dmsg_s = jax.lax.dot_general(
+        oh_s, us_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dmsg_v = jax.lax.dot_general(
+        oh_s, uv_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dgate_v = jnp.zeros((ET, Fp), jnp.float32)
+    dgate_e = jnp.zeros((ET, Fp), jnp.float32)
+    for d in range(3):
+        dmv_d = dmsg_v[:, d * Fp : (d + 1) * Fp]
+        dgate_v = dgate_v + dmv_d * gv[:, d * Fp : (d + 1) * Fp]
+        dgate_e = dgate_e + dmv_d * diff[:, d : d + 1]
+    dfo = jnp.concatenate([dgate_v, dgate_e, dmsg_s], axis=1)
+    dfw = dfo * gh
+    dz = dfw * cut
+
+    # ---- adjoints of B
+    a_dgh = jax.lax.dot_general(
+        oh_r, vdh_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # cot of dgh (dh = OHr dgh)
+    a_dgv = jax.lax.dot_general(
+        oh_r, vdv_ref[:].astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    a_dz = jax.lax.dot_general(
+        vdrbf_ref[:].astype(dt), wf_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + jnp.dot(
+        rbf_ref[:], vdwf_ref[:], preferred_element_type=jnp.float32,
+        precision=prec,
+    ) + vdbf_ref[:].astype(jnp.float32)
+    vdcut = vdcut_ref[:].astype(jnp.float32)
+    a_dfw = a_dz * cut + vdcut * z
+    a_dfo = a_dfw * gh + a_dgh * fw
+    a_dgate_v = a_dfo[:, :Fp]
+    a_dgate_e = a_dfo[:, Fp : 2 * Fp]
+    a_dmsg_s = a_dfo[:, 2 * Fp :]
+    vddiff = vddiff_ref[:].astype(jnp.float32)
+
+    a_dmsg_v_blocks = []
+    c_gate_v = jnp.zeros((ET, Fp), jnp.float32)
+    c_gate_e = jnp.zeros((ET, Fp), jnp.float32)
+    c_gv_blocks = []
+    cdiff_cols = []
+    for d in range(3):
+        dmv_d = dmsg_v[:, d * Fp : (d + 1) * Fp]
+        gv_d = gv[:, d * Fp : (d + 1) * Fp]
+        a_dgv_d = a_dgv[:, d * Fp : (d + 1) * Fp]
+        a_dmv_d = (
+            a_dgate_v * gv_d
+            + a_dgate_e * diff[:, d : d + 1]
+            + vddiff[:, d : d + 1] * gate_e
+            + a_dgv_d * gate_v
+        )
+        a_dmsg_v_blocks.append(a_dmv_d)
+        c_gate_v = c_gate_v + a_dgv_d * dmv_d
+        c_gate_e = c_gate_e + vddiff[:, d : d + 1] * dmv_d
+        c_gv_blocks.append(a_dgate_v * dmv_d)
+        cdiff_cols.append(
+            jnp.sum(a_dgate_e * dmv_d, axis=1, keepdims=True)
+        )
+    a_dmsg_v = jnp.concatenate(a_dmsg_v_blocks, axis=1)
+    cdiff_ref[:] = jnp.concatenate(cdiff_cols, axis=1)
+
+    # cotangents of the first-order seeds
+    cus = jax.lax.dot_general(
+        oh_s, a_dmsg_s.astype(dt), scatter,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    cuv = jax.lax.dot_general(
+        oh_s, a_dmsg_v.astype(dt), scatter,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    # primal-value cotangents
+    c_fo = jnp.concatenate(
+        [c_gate_v, c_gate_e, jnp.zeros((ET, Fp), jnp.float32)], axis=1
+    )
+    c_fw = a_dgh * dfo + c_fo * gh
+    c_gh = a_dfw * dfo + c_fo * fw
+    c_gv = jnp.concatenate(c_gv_blocks, axis=1)
+    c_z = c_fw * cut + vdcut * dfw
+    ccut_ref[:] = (
+        jnp.sum(a_dz * dfw, axis=1, keepdims=True)
+        + jnp.sum(c_fw * z, axis=1, keepdims=True)
+    )
+    crbf_ref[:] = jax.lax.dot_general(
+        dz.astype(dt), vdwf_ref[:], ll,
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + jax.lax.dot_general(
+        c_z.astype(dt), wf_ref[:], ll,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    cwf_part = jax.lax.dot_general(
+        vdrbf_ref[:].astype(dt), dz.astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + jax.lax.dot_general(
+        rbf_ref[:], c_z.astype(dt), cdims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    cbf_part = jnp.sum(c_z, axis=0, keepdims=True)
+    ch_part = jax.lax.dot_general(
+        oh_r, c_gh.astype(dt), scatter,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    cv_part = jax.lax.dot_general(
+        oh_r, c_gv.astype(dt), scatter,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    @pl.when(k == 0)
+    def _():
+        ch_ref[:] = jnp.zeros_like(ch_ref)
+        cv_ref[:] = jnp.zeros_like(cv_ref)
+        cus_ref[:] = jnp.zeros_like(cus_ref)
+        cuv_ref[:] = jnp.zeros_like(cuv_ref)
+
+    ch_ref[:] += ch_part
+    cv_ref[:] += cv_part
+    cus_ref[:] += cus
+    cuv_ref[:] += cuv
+
+    first = jnp.logical_and(g == 0, k == 0)
+
+    @pl.when(first)
+    def _():
+        cwf_ref[:] = jnp.zeros_like(cwf_ref)
+        cbf_ref[:] = jnp.zeros_like(cbf_ref)
+
+    cwf_ref[:] += cwf_part
+    cbf_ref[:] += cbf_part
+
+
+def second_order_supported(hidden: int, dtype) -> bool:
+    """VMEM feasibility of the PAINN second-order kernel at ET=128: the
+    node blocks are [S, 3Fp]-wide (x10 resident) and ~10 [ET, 3Fp] edge
+    lives. Fits comfortably to F~512; the GFM width (866) does not — force
+    training falls back to the unfused message path there."""
+    Fp = _round_up(hidden, LANES)
+    item = jnp.dtype(dtype).itemsize
+    fixed = 64 * 3 * Fp * 40 + 32 * 3 * Fp * 12
+    per_row = 3 * Fp * 10 * (2 + item)
+    return fixed + 128 * per_row <= 15 * 2**20
+
+
 @functools.lru_cache(maxsize=None)
-def _make_core(G: int, S: int, Eg: int, ET: int, Fp: int, NR: int):
+def _make_core(G: int, S: int, Eg: int, ET: int, Fp: int, NR: int,
+               ET2: int = 0):
+    ET2 = ET2 or ET
     K = Eg // ET
     sub_pad = _round_up(ET // LANES, 8)
 
@@ -300,6 +515,87 @@ def _make_core(G: int, S: int, Eg: int, ET: int, Fp: int, NR: int):
         **common,
     )
 
+    K2 = Eg // ET2
+    sub2_pad = _round_up(ET2 // LANES, 8)
+    idx2_spec = pl.BlockSpec(
+        (1, sub2_pad, LANES), lambda g, k: (g * K2 + k, 0, 0)
+    )
+    rbf2_spec = pl.BlockSpec((ET2, NR), lambda g, k: (g * K2 + k, 0))
+    cut2_spec = pl.BlockSpec((ET2, 1), lambda g, k: (g * K2 + k, 0))
+    diff2_spec = pl.BlockSpec((ET2, 3), lambda g, k: (g * K2 + k, 0))
+    bwd2_call = pl.pallas_call(
+        functools.partial(_bwd2_kernel, S=S, ET=ET2, Fp=Fp),
+        in_specs=[idx2_spec, idx2_spec, rbf2_spec, cut2_spec, diff2_spec,
+                  node3_spec, node3_spec, wf_spec, bf_spec,
+                  node1_spec,   # us
+                  node3_spec,   # uv
+                  node3_spec,   # vdh
+                  node3_spec,   # vdv
+                  rbf2_spec,    # vdrbf
+                  cut2_spec,    # vdcut
+                  diff2_spec,   # vddiff
+                  wf_spec, bf_spec],
+        out_specs=[
+            node3_spec, node3_spec,               # c_h, c_v
+            rbf2_spec, cut2_spec, diff2_spec,     # c_rbf, c_cut, c_diff
+            wf_spec, bf_spec,                     # c_wf, c_bf
+            node1_spec, node3_spec,               # c_us, c_uv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G * S, 3 * Fp), jnp.float32),
+            jax.ShapeDtypeStruct((G * S, 3 * Fp), jnp.float32),
+            jax.ShapeDtypeStruct((G * Eg, NR), jnp.float32),
+            jax.ShapeDtypeStruct((G * Eg, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G * Eg, 3), jnp.float32),
+            jax.ShapeDtypeStruct((NR, 3 * Fp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * Fp), jnp.float32),
+            jax.ShapeDtypeStruct((G * S, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((G * S, 3 * Fp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * G * Eg * 3 * Fp * (NR + 3 * S),
+            bytes_accessed=G * (16 * S * 3 * Fp + 4 * Eg * NR) * 4,
+            transcendentals=0,
+        ),
+        **common,
+    )
+
+    # second-order support: B is its own differentiable op (same pattern
+    # and fwd-rule re-entrancy note as ops/pallas_egnn.py)
+    @jax.custom_vjp
+    def bwd_op(h, v, rbf, cut, diffn, wf, bf, us, uv, s2d, r2d):
+        return bwd_call(s2d, r2d, rbf, cut, diffn, h, v, wf, bf, us, uv)
+
+    def bwd_op_fwd(h, v, rbf, cut, diffn, wf, bf, us, uv, s2d, r2d):
+        out = bwd_op(h, v, rbf, cut, diffn, wf, bf, us, uv, s2d, r2d)
+        return out, (h, v, rbf, cut, diffn, wf, bf, us, uv, s2d, r2d)
+
+    def bwd_op_bwd(res, cots):
+        h, v, rbf, cut, diffn, wf, bf, us, uv, s2d, r2d = res
+        vdh, vdv, vdrbf, vdcut, vddiff, vdwf, vdbf = cots
+        if ET2 != ET:
+            from hydragnn_tpu.ops.pallas_egnn import _rechunk_ids
+
+            sub = ET // LANES
+            s2d = _rechunk_ids(s2d, G, sub, sub_pad, ET2)
+            r2d = _rechunk_ids(r2d, G, sub, sub_pad, ET2)
+        ch, cv, crbf, ccut, cdiff, cwf, cbf, cus, cuv = bwd2_call(
+            s2d, r2d, rbf, cut, diffn, h, v, wf, bf,
+            us.astype(jnp.float32), uv.astype(jnp.float32),
+            vdh.astype(jnp.float32), vdv.astype(jnp.float32),
+            vdrbf.astype(jnp.float32), vdcut.astype(jnp.float32),
+            vddiff.astype(jnp.float32), vdwf.astype(jnp.float32),
+            vdbf.astype(jnp.float32),
+        )
+        return (
+            ch.astype(h.dtype), cv.astype(v.dtype), crbf.astype(rbf.dtype),
+            ccut.astype(cut.dtype), cdiff.astype(diffn.dtype),
+            cwf.astype(wf.dtype), cbf.astype(bf.dtype),
+            cus.astype(jnp.float32), cuv.astype(jnp.float32), None, None,
+        )
+
+    bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
+
     @jax.custom_vjp
     def core(h, v, rbf, cut, diffn, wf, bf, s2d, r2d):
         return fwd_call(s2d, r2d, rbf, cut, diffn, h, v, wf, bf)
@@ -311,9 +607,9 @@ def _make_core(G: int, S: int, Eg: int, ET: int, Fp: int, NR: int):
     def core_bwd(res, cots):
         h, v, rbf, cut, diffn, wf, bf, s2d, r2d = res
         us, uv = cots
-        dh, dv, drbf, dcut, ddiff, dwf, dbf = bwd_call(
-            s2d, r2d, rbf, cut, diffn, h, v, wf, bf,
-            us.astype(jnp.float32), uv.astype(jnp.float32),
+        dh, dv, drbf, dcut, ddiff, dwf, dbf = bwd_op(
+            h, v, rbf, cut, diffn, wf, bf,
+            us.astype(jnp.float32), uv.astype(jnp.float32), s2d, r2d,
         )
         return (
             dh.astype(h.dtype), dv.astype(v.dtype), drbf.astype(rbf.dtype),
@@ -375,7 +671,13 @@ def painn_message_fused(
     # v [N, 3, F] -> flattened d-major [N, 3Fp]
     v_flat = jnp.pad(v, ((0, 0), (0, 0), (0, padF))).reshape(N, 3 * Fp)
 
-    core = _make_core(G, S, Eg, edge_tile, Fp, NR)
+    et2 = scale_edge_tile(
+        edge_tile, 3 * Fp, jnp.dtype(dt).itemsize, 10,
+        fixed=S * 3 * Fp * 40 + NR * 3 * Fp * 12,
+    )
+    while Eg % et2:
+        et2 //= 2
+    core = _make_core(G, S, Eg, edge_tile, Fp, NR, et2)
     sub = edge_tile // LANES
     sub_pad = _round_up(sub, 8)
     K = Eg // edge_tile

@@ -228,7 +228,7 @@ def test_auto_slots_shared_across_splits():
     assert edge_slot >= max(s.num_edges for s in samples)
 
 
-@pytest.mark.parametrize("mpnn_type", ["SchNet", "EGNN"])
+@pytest.mark.parametrize("mpnn_type", ["SchNet", "EGNN", "PAINN"])
 def test_fused_second_order_force_grads_match_unfused(mpnn_type, monkeypatch):
     """Model-level second-order equality: energy-force loss AND parameter
     gradients from the FUSED kernels (second-order custom VJPs, interpret

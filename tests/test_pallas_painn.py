@@ -164,3 +164,62 @@ def test_painn_model_fused_matches_unfused(monkeypatch):
             gf, gu, rtol=2e-4, atol=1e-6,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_second_order_grad_of_grad_matches_reference():
+    """Force-training structure for the PaiNN message: inner grad w.r.t.
+    (rbf, cut, diffn) — the pos-dependent inputs — outer grad of a
+    force-MSE w.r.t. (h, v, wf, bf). Pure bilinear gating: the fused
+    second-order kernel must match XLA's reverse-over-reverse."""
+    (h, v, rbf, cut, diffn, wf, bf, s, r, real, node_real) = _workload(
+        G=3, S=16, Eg=128, F=64, frac_pad=0.3, seed=7
+    )
+    N = h.shape[0]
+    rng = np.random.RandomState(2)
+    ws = rng.randn(N, 64).astype(np.float32) * node_real[:, None]
+    wv = rng.randn(N, 3, 64).astype(np.float32) * node_real[:, None, None]
+    tg = [rng.randn(*a.shape).astype(np.float32) for a in (rbf, cut, diffn)]
+    em = jnp.asarray(real)
+
+    def energy(rbf_, cut_, diffn_, h_, v_, wf_, bf_, fused):
+        if fused:
+            rs, rv = painn_message_fused(
+                h_, v_, rbf_, cut_, diffn_, wf_, bf_,
+                jnp.asarray(s), jnp.asarray(r), 16, 128,
+            )
+        else:
+            rs, rv = painn_message_reference(
+                h_, v_, rbf_, cut_, diffn_, wf_, bf_,
+                jnp.asarray(s), jnp.asarray(r), N,
+            )
+        rs = rs * jnp.asarray(node_real)[:, None]
+        rv = rv * jnp.asarray(node_real)[:, None, None]
+        return jnp.sum(rs * ws) + jnp.sum(rv * wv)
+
+    def loss(h_, v_, wf_, bf_, fused):
+        g1, g2, g3 = jax.grad(energy, argnums=(0, 1, 2))(
+            jnp.asarray(rbf), jnp.asarray(cut), jnp.asarray(diffn),
+            h_, v_, wf_, bf_, fused,
+        )
+        # padding-edge cotangents differ by construction; mask them out
+        return (
+            jnp.sum(jnp.where(em[:, None], (g1 - tg[0]) ** 2, 0.0))
+            + jnp.sum(jnp.where(em, (g2 - tg[1]) ** 2, 0.0))
+            + jnp.sum(jnp.where(em[:, None], (g3 - tg[2]) ** 2, 0.0))
+            + energy(jnp.asarray(rbf), jnp.asarray(cut),
+                     jnp.asarray(diffn), h_, v_, wf_, bf_, fused)
+        )
+
+    args = tuple(jnp.asarray(a) for a in (h, v, wf, bf))
+    outs = {}
+    for name, fused in (("ref", False), ("fused", True)):
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            *args, fused
+        )
+        outs[name] = (float(val), [np.asarray(g) for g in grads])
+    np.testing.assert_allclose(outs["fused"][0], outs["ref"][0], rtol=5e-5)
+    for i, nm in enumerate(["h", "v", "wf", "bf"]):
+        np.testing.assert_allclose(
+            outs["fused"][1][i], outs["ref"][1][i], rtol=2e-4, atol=2e-4,
+            err_msg=f"outer grad mismatch for {nm}",
+        )
