@@ -248,7 +248,12 @@ def _segment_sum_csr_impl(
 
 
 def _fwd(msgs, receivers, num_nodes):
-    return _segment_sum_csr_impl(msgs, receivers, num_nodes), receivers
+    # re-enter the custom_vjp wrapper (NOT the raw impl): under an outer AD
+    # trace (grad-of-grad, e.g. a %128-wide readout inside a force loss)
+    # the fwd rule's body is traced with that trace's tracers, and only the
+    # wrapper keeps the pallas_call out of forward-mode (see
+    # ops/pallas_egnn.py)
+    return segment_sum_csr(msgs, receivers, num_nodes), receivers
 
 
 def _bwd(num_nodes, receivers, g):
@@ -742,7 +747,8 @@ def segment_sum_local_vjp(data, ids, num_nodes, perm):
 
 
 def _local_fwd(data, ids, num_nodes, perm):
-    return segment_sum_local(data, ids, num_nodes, perm), ids
+    # re-entrant (see _fwd note above)
+    return segment_sum_local_vjp(data, ids, num_nodes, perm), ids
 
 
 def _local_bwd(num_nodes, ids, g):

@@ -551,10 +551,11 @@ def spmm_onehot(
 
 def _fwd(x, senders, receivers, weights, perm, num_nodes, diff_weights,
          w_passes, windows):
-    out = _spmm_fused_impl(
-        x, senders, receivers, weights, num_nodes, w_passes=w_passes,
-        a_passes=1 if w_passes == 1 else A_PASSES, a_int8=w_passes == 1,
-        window=windows or WINDOW,
+    # re-entrant (see pallas_segment._fwd note): keeps the pallas_call
+    # custom_vjp-protected when an outer AD trace replays this rule
+    out = spmm_onehot(
+        x, senders, receivers, weights, perm, num_nodes, diff_weights,
+        w_passes, windows,
     )
     res = (x if diff_weights else None, senders, receivers, weights, perm)
     return out, res
