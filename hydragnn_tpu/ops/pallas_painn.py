@@ -438,14 +438,15 @@ def _bwd2_kernel(
 
 
 def second_order_supported(hidden: int, dtype) -> bool:
-    """VMEM feasibility of the PAINN second-order kernel at ET=128: the
-    node blocks are [S, 3Fp]-wide (x10 resident) and ~10 [ET, 3Fp] edge
-    lives. Fits comfortably to F~512; the GFM width (866) does not — force
-    training falls back to the unfused message path there."""
+    """VMEM feasibility of the PAINN second-order kernel at the ET=128
+    floor: the node blocks are [S, 3Fp]-wide (~10 resident) and ~15
+    [ET, 3Fp] edge lives (CALIBRATED: F=512 bf16 measured 16.21 MB scoped
+    at ET2=128 — just over). Accuracy-relevant widths (F <= ~384) fit;
+    larger PAINN force training falls back to the unfused message path."""
     Fp = _round_up(hidden, LANES)
     item = jnp.dtype(dtype).itemsize
     fixed = 64 * 3 * Fp * 40 + 32 * 3 * Fp * 12
-    per_row = 3 * Fp * 10 * (2 + item)
+    per_row = 3 * Fp * 15 * (2 + item)
     return fixed + 128 * per_row <= 15 * 2**20
 
 
@@ -523,6 +524,7 @@ def _make_core(G: int, S: int, Eg: int, ET: int, Fp: int, NR: int,
     rbf2_spec = pl.BlockSpec((ET2, NR), lambda g, k: (g * K2 + k, 0))
     cut2_spec = pl.BlockSpec((ET2, 1), lambda g, k: (g * K2 + k, 0))
     diff2_spec = pl.BlockSpec((ET2, 3), lambda g, k: (g * K2 + k, 0))
+    common2 = dict(common, grid=(G, K2))
     bwd2_call = pl.pallas_call(
         functools.partial(_bwd2_kernel, S=S, ET=ET2, Fp=Fp),
         in_specs=[idx2_spec, idx2_spec, rbf2_spec, cut2_spec, diff2_spec,
@@ -557,7 +559,7 @@ def _make_core(G: int, S: int, Eg: int, ET: int, Fp: int, NR: int,
             bytes_accessed=G * (16 * S * 3 * Fp + 4 * Eg * NR) * 4,
             transcendentals=0,
         ),
-        **common,
+        **common2,
     )
 
     # second-order support: B is its own differentiable op (same pattern
@@ -672,7 +674,7 @@ def painn_message_fused(
     v_flat = jnp.pad(v, ((0, 0), (0, 0), (0, padF))).reshape(N, 3 * Fp)
 
     et2 = scale_edge_tile(
-        edge_tile, 3 * Fp, jnp.dtype(dt).itemsize, 10,
+        edge_tile, 3 * Fp, jnp.dtype(dt).itemsize, 15,
         fixed=S * 3 * Fp * 40 + NR * 3 * Fp * 12,
     )
     while Eg % et2:
