@@ -49,11 +49,14 @@ _SECOND_ORDER = False  # set by the trainer around force-training traces
 
 
 class fused_kernels_disabled:
-    """Trace-time guard: the fused edge kernels' custom VJPs are first-
-    order only, so energy-force training (grad-of-grad, trainer
-    ``compute_grad_energy``) must trace the unfused XLA path. The trainer
-    wraps its force loss in this context; the flag is consulted while
-    tracing, so jitted programs bake the right path in."""
+    """Trace-time marker for SECOND-ORDER (energy-force, grad-of-grad)
+    traces. The trainer wraps its force loss in this context; each fused
+    call site then decides via ``_use_fused_edge_kernel(second_order_ok=
+    ...)``: families whose backward is itself a differentiable custom-VJP
+    op (EGNN/SchNet/PAINN within their VMEM gates, round 4) stay fused,
+    the rest bake the unfused XLA path into the trace. The flag is
+    consulted while tracing, so jitted programs fix the path at compile
+    time."""
 
     def __enter__(self):
         global _SECOND_ORDER
