@@ -385,7 +385,7 @@ def eval_direct_heads(model, cfg, state, loader):
 
 
 def run_gfm_objective(epochs, configs, mpnn_type="EGNN", egnn_aggr="sum",
-                      hidden=128, layers=4):
+                      hidden=128, layers=4, equivariance=False):
     """Direct-force-head training in the GFM260 objective shape on the
     EAM-alloy dataset (analytic forces). The round-3 VERDICT's top ask:
     scale the offline accuracy evidence to the ACTUAL flagship objective
@@ -404,6 +404,7 @@ def run_gfm_objective(epochs, configs, mpnn_type="EGNN", egnn_aggr="sum",
             "Architecture": {
                 "mpnn_type": mpnn_type,
                 "egnn_aggr": egnn_aggr,
+                "equivariance": equivariance,
                 "radius": 4.2,
                 "max_neighbours": 24,
                 "hidden_dim": hidden,
@@ -450,6 +451,8 @@ def run_gfm_objective(epochs, configs, mpnn_type="EGNN", egnn_aggr="sum",
     )
     metrics = eval_direct_heads(model, cfg, state, loaders[2])
     tag = f"_{egnn_aggr}" if mpnn_type == "EGNN" else ""
+    if equivariance:
+        tag += "_equivariant"
     return {
         "run": f"EAMalloy_GFMobjective_{mpnn_type}{tag}",
         "configs": configs,
