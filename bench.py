@@ -63,9 +63,11 @@ MEASURED_BW = 347e9  # streaming ceiling of the tunneled v5e (fetch-
 
 
 def measure_giant() -> dict:
-    """Giant single-graph SpMM: 131k-node / 1.05M-edge RCM-ordered 2D Moore
-    lattice through the BCSR banded-matmul kernel (ops/bcsr.py, x_passes=2
-    ~1e-5 relative; fetch-terminated timing)."""
+    """Giant single-graph SpMM: 131k-node / 1.05M-edge 2D Moore lattice,
+    ordered by ``band_order`` (cost-model pick between natural raster and
+    RCM — raster wins on the torus, its wrap edges absorbed by the band
+    kernel's outlier tiles), through the BCSR band-aligned matmul
+    (ops/bcsr.py, x_passes=2 ~1e-5 relative; fetch-terminated timing)."""
     import time
 
     import numpy as np
@@ -75,17 +77,21 @@ def measure_giant() -> dict:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "bench"))
     from giant_graph_spmm import lattice_graph
 
-    from hydragnn_tpu.data.ordering import rcm_order
-    from hydragnn_tpu.ops.bcsr import build_bcsr, bcsr_spmm
+    from hydragnn_tpu.data.ordering import band_order
+    from hydragnn_tpu.ops.bcsr import BandDir, build_bcsr, bcsr_spmm
 
     ei, n = lattice_graph((362, 362), "moore")
-    perm = rcm_order(ei, n)
+    perm = band_order(ei, n)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n)
     ei = inv[ei]
     order = np.argsort(ei[1])
     send, recv = ei[0][order], ei[1][order]
     e = send.shape[0]
+    # production shape: collate pads node slots to lane multiples, so the
+    # per-layer x carries a 128-aligned row count (the raw 362^2 = 131044
+    # would otherwise re-pad — a full [N, F] copy — inside every call)
+    n = -(-n // 128) * 128
     bc = build_bcsr(send, recv, None, n)
     x = jnp.asarray(np.random.RandomState(0).randn(n, 128).astype(np.float32))
     iters = 30
@@ -155,14 +161,23 @@ def measure_giant() -> dict:
     roof = e * 128 * 4 + n * 128 * 4 + e * 8
     F = 128
     d_ = bc.fwd
-    C = d_.a.shape[-1]
     passes = 2
-    n_misses = int(np.asarray(d_.dma_flag > 0).sum())
-    actual = (
-        d_.a.nbytes
-        + n_misses * C * F * 2 * passes
-        + d_.num_blocks * d_.block * F * 4
-    )
+    if isinstance(d_, BandDir):
+        # band windows are DMA'd whole per block (fp32, split in VMEM)
+        actual = (
+            d_.a.nbytes + d_.oa.nbytes
+            + d_.num_blocks * d_.width * F * 4
+            + d_.oa.shape[0] * d_.oa.shape[-1] * F * 4
+            + d_.num_blocks * d_.block * F * 4
+        )
+    else:
+        C = d_.a.shape[-1]
+        n_misses = int(np.asarray(d_.dma_flag > 0).sum())
+        actual = (
+            d_.a.nbytes
+            + n_misses * C * F * 2 * passes
+            + d_.num_blocks * d_.block * F * 4
+        )
     return {
         "giant_graph_fraction_vs_spec": round(roof / bw / dt, 4),
         "giant_graph_fraction_vs_measured_bw": round(

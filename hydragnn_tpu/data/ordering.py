@@ -73,6 +73,46 @@ def rcm_order(
     return out[::-1].copy()
 
 
+def band_order(
+    edge_index: np.ndarray, num_nodes: int, block: int = 512
+) -> np.ndarray:
+    """Pick the ordering that minimizes the BCSR band kernel's dense-tile
+    work: scores candidate permutations (identity, RCM) with the band +
+    outlier cost model of ``ops.bcsr._choose_window`` and returns the
+    cheapest, ``perm[new_id] = old_id``.
+
+    RCM minimizes BANDWIDTH, which is the wrong objective for near-regular
+    periodic graphs: on a torus its BFS level sets are ~3x wider than the
+    natural raster band, whose only defects — the wrap edges — the BCSR
+    outlier tiles absorb for free. Scoring both under the kernel's actual
+    cost model picks raster there and RCM for shipped-shuffled node orders.
+    """
+    from hydragnn_tpu.ops.bcsr import _choose_window
+
+    send = np.asarray(edge_index[0], np.int64)
+    recv = np.asarray(edge_index[1], np.int64)
+
+    def cost(perm: Optional[np.ndarray]) -> float:
+        if perm is None:
+            s, r = send, recv
+        else:
+            inv = np.empty(num_nodes, np.int64)
+            inv[perm] = np.arange(num_nodes)
+            s, r = inv[send], inv[recv]
+        total = 0.0
+        for rows, cols in ((r, s), (s, r)):
+            sel = _choose_window(rows, cols, num_nodes, block)
+            if sel is None:
+                return np.inf
+            total += sel[3]
+        return total
+
+    rcm = rcm_order(edge_index, num_nodes)
+    if cost(None) <= cost(rcm):
+        return np.arange(num_nodes, dtype=np.int64)
+    return rcm
+
+
 def reorder_sample(sample: GraphSample, perm: np.ndarray) -> GraphSample:
     """Relabel a sample's nodes by ``perm`` (perm[new_id] = old_id).
 

@@ -103,14 +103,50 @@ class BCSRDir:
 
 
 @struct.dataclass
+class BandDir:
+    """Band-aligned variant of ``BCSRDir``: ONE [B, W] tile per row block,
+    whose sender-column window starts at a per-block 128-aligned offset
+    ``col0`` instead of a fixed global chunk grid. For an RCM-ordered band
+    of width ``w`` this removes the partial-chunk waste of grid-aligned
+    tiles (a block spanning ``w + B`` columns touches ceil((w+B)/C)+1 grid
+    chunks but exactly one band tile), cutting MXU work and int8-unpack VPU
+    work by ~1.4x on the 131k/1M lattice (round-3 VERDICT weak #1 lever).
+
+    ``a`` is [NB, B, W] int8 multiplicities or [NB, B//8, W] bit planes
+    (same packing scheme as BCSRDir). ``col0`` is scalar-prefetched so the
+    kernel DMAs x[col0[i] : col0[i]+W] per block, double-buffered across
+    grid steps.
+
+    The window width is chosen ROBUSTLY (minimum total dense elements over
+    span quantiles, ``_choose_window``): edges outside their block's best
+    window — e.g. the wrap edges of a periodic lattice under natural raster
+    order, whose full span would otherwise force W toward N — spill into
+    ragged per-block OUTLIER tiles ``oa`` ([To, B, OUT_W] at 128-aligned
+    starts ``ostart``, block offsets ``orow_ptr``), accumulated by a
+    usually-empty inner loop in the kernel."""
+
+    a: jnp.ndarray  # [NB, B or B//8, W] int8
+    col0: jnp.ndarray  # [NB] int32, 128-aligned first sender column
+    oa: jnp.ndarray  # [To, B or B//8, OUT_W] int8 outlier tiles
+    ostart: jnp.ndarray  # [To] int32, 128-aligned outlier window starts
+    orow_ptr: jnp.ndarray  # [NB+1] int32 outlier tile offsets per block
+    num_blocks: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    width: int = struct.field(pytree_node=False)  # W (multiple of 128)
+    packed: bool = struct.field(pytree_node=False)
+
+
+@struct.dataclass
 class BCSR:
     """Static block-sparse adjacency of one batch (host-built, device-held).
 
     ``fwd``: rows = receivers (the aggregation); ``bwd``: rows = senders
-    (the transpose, used by the custom VJP)."""
+    (the transpose, used by the custom VJP). Each direction is either a
+    band-aligned ``BandDir`` (preferred when the RCM band is narrow enough)
+    or a grid-aligned ``BCSRDir``; ``bcsr_matmul`` dispatches on type."""
 
-    fwd: BCSRDir
-    bwd: BCSRDir
+    fwd: "BCSRDir | BandDir"
+    bwd: "BCSRDir | BandDir"
 
 
 def _build_one_direction(
@@ -201,6 +237,181 @@ def _build_one_direction(
     )
 
 
+BAND_W_CAP = 8192  # widest per-block column window (VMEM: 2 x W x 128 x 4
+# double-buffered fp32 x windows = 8 MB at the cap with ft=128)
+BAND_ALIGN = 128  # col0 alignment (lane-width DMA offsets)
+
+
+OUT_W = 256  # outlier tile lane width (one 128-col bucket + clamp slack)
+
+
+def _choose_window(rows, cols, num_nodes, block):
+    """Uniform window width W + per-block 128-aligned starts minimizing
+    total dense elements (band tiles + OUT_W-wide outlier tiles).
+
+    For each candidate W (span quantiles), every block picks the aligned
+    start covering the most of its edges (two-pointer over its sorted
+    sender columns); edges left outside are costed as outlier chunks.
+    Returns (width, col0[nb], in_window_mask, cost_elems) or None."""
+    nb = _round_up(num_nodes, block) // block
+    n_cap = _round_up(num_nodes, BAND_ALIGN)
+    rb = rows // block
+    order = np.lexsort((cols, rb))
+    rs, cs = rb[order], cols[order]
+    bounds = np.searchsorted(rs, np.arange(nb + 1))
+    a0 = (cs // BAND_ALIGN) * BAND_ALIGN  # aligned start candidates
+    spans = [
+        cs[hi - 1] - a0[lo] + 1
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    if not spans:
+        return None
+    spans = np.asarray(spans)
+    cands = np.unique(np.concatenate([
+        np.percentile(spans, [50, 75, 90, 95, 99], method="lower"),
+        [spans.max()],
+    ]))
+    cands = np.unique(
+        np.minimum((cands + BAND_ALIGN - 1) // BAND_ALIGN * BAND_ALIGN,
+                   min(BAND_W_CAP, n_cap))
+    )
+    best = None
+    for w in cands:
+        w = int(w)
+        col0 = np.zeros(nb, np.int64)
+        in_mask_s = np.zeros(cs.shape[0], bool)  # in sorted order
+        for b in range(nb):
+            lo, hi = bounds[b], bounds[b + 1]
+            if hi <= lo:
+                continue
+            cb, ab = cs[lo:hi], a0[lo:hi]
+            starts = np.unique(ab)
+            cover = (
+                np.searchsorted(cb, starts + w, side="left")
+                - np.searchsorted(cb, starts, side="left")
+            )
+            start = int(starts[int(np.argmax(cover))])
+            start = min(start, n_cap - w)
+            col0[b] = start
+            in_mask_s[lo:hi] = (cb >= start) & (cb < start + w)
+        # outlier chunk count: unique (block, col bucket) among outliers
+        om = ~in_mask_s
+        n_chunks = np.unique(
+            rs[om].astype(np.int64) * (n_cap // BAND_ALIGN + 1)
+            + cs[om] // BAND_ALIGN
+        ).shape[0]
+        cost = nb * block * w + n_chunks * block * OUT_W
+        if best is None or cost < best[3]:
+            in_mask = np.zeros(cs.shape[0], bool)
+            in_mask[order] = in_mask_s
+            best = (w, col0.copy(), in_mask, cost)
+    return best
+
+
+def _pack_tiles(ti, rr, cc, cnt, n_tiles, block, width, pack, mx):
+    """Scatter per-entry multiplicities into [n_tiles, B, W] int8 tiles
+    (bit-planes [n_tiles, B//8, W] when every multiplicity is 1)."""
+    packed = pack and mx <= 1 and block % 8 == 0
+    if packed:
+        sub = block // 8
+        a = np.zeros((n_tiles, sub, width), np.uint8)
+        np.bitwise_or.at(
+            a, (ti, rr % sub, cc), (1 << (rr // sub)).astype(np.uint8)
+        )
+        a = a.view(np.int8)
+    else:
+        a = np.zeros((n_tiles, block, width), np.int8)
+        a[ti, rr, cc] = cnt.astype(np.int8)
+    return a, packed
+
+
+def _build_band_direction(
+    rows, cols, num_nodes, block, pack=True
+) -> Optional[BandDir]:
+    """One [B, W] tile per row block at a robustly-chosen 128-aligned
+    column offset, plus ragged outlier tiles for out-of-window edges.
+
+    Returns None when no candidate window fits ``BAND_W_CAP`` / the node
+    array, a multiplicity overflows int8, or grid-aligned ragged tiles
+    (``_build_one_direction``) would move fewer dense elements."""
+    nb = _round_up(num_nodes, block) // block
+    n_cap = _round_up(num_nodes, BAND_ALIGN)
+    sel = _choose_window(rows, cols, num_nodes, block)
+    if sel is None:
+        return None
+    width, col0, in_mask, cost = sel
+    if n_cap < width or (not in_mask.all() and n_cap < OUT_W):
+        return None
+    # grid-cost comparison: decline when ragged CHUNK-aligned tiles are
+    # clearly cheaper (no band locality to exploit). The 1.25 slack
+    # reflects the band kernel's lower control cost per dense element
+    # (1 tile/block vs ~3-6 ragged tiles: measured bf16 win at equal or
+    # slightly higher element count, bench/results/train_step_r4.md)
+    grid_tiles = np.unique(
+        (rows // block).astype(np.int64) * (num_nodes // CHUNK + 2)
+        + cols // CHUNK
+    ).shape[0]
+    if cost > 1.25 * max(grid_tiles, nb) * block * CHUNK:
+        return None
+
+    rb = rows // block
+    # ---- band tiles ----
+    bi, bc_ = rows[in_mask], cols[in_mask]
+    brb = bi // block
+    flat = (brb * block + (bi - brb * block)) * width + (bc_ - col0[brb])
+    upos, cnt = np.unique(flat, return_counts=True)
+    mx = int(cnt.max()) if cnt.size else 0
+    # ---- outlier tiles ----
+    oi, oc_ = rows[~in_mask], cols[~in_mask]
+    orb = oi // block
+    nck = n_cap // BAND_ALIGN + 1
+    okey = orb * nck + oc_ // BAND_ALIGN
+    ouniq, oinv = np.unique(okey, return_inverse=True)
+    to = max(ouniq.shape[0], 1)
+    ostart = np.zeros(to, np.int64)
+    if ouniq.shape[0]:
+        ostart[: ouniq.shape[0]] = np.minimum(
+            (ouniq % nck) * BAND_ALIGN, n_cap - OUT_W
+        )
+        occ = oc_ - ostart[oinv]
+        if occ.size and (occ.min() < 0 or occ.max() >= OUT_W):
+            return None  # cannot happen for 128-bucketed outliers; guard
+        oflat = (oinv * block + (oi - orb * block)) * OUT_W + occ
+        oupos, ocnt = np.unique(oflat, return_counts=True)
+        mx = max(mx, int(ocnt.max()))
+        orow_ptr = np.searchsorted(
+            ouniq // nck, np.arange(nb + 1)
+        ).astype(np.int32)
+    else:
+        oupos = np.zeros(0, np.int64)
+        ocnt = np.zeros(0, np.int64)
+        orow_ptr = np.zeros(nb + 1, np.int32)
+    if mx > 127:
+        return None
+
+    a, packed = _pack_tiles(
+        upos // (block * width), (upos // width) % block, upos % width,
+        cnt, nb, block, width, pack, mx,
+    )
+    oa, opacked = _pack_tiles(
+        oupos // (block * OUT_W), (oupos // OUT_W) % block, oupos % OUT_W,
+        ocnt, to, block, OUT_W, pack, mx,
+    )
+    assert packed == opacked
+    return BandDir(
+        a=jnp.asarray(a),
+        col0=jnp.asarray(col0.astype(np.int32)),
+        oa=jnp.asarray(oa),
+        ostart=jnp.asarray(ostart.astype(np.int32)),
+        orow_ptr=jnp.asarray(orow_ptr),
+        num_blocks=nb,
+        block=block,
+        width=width,
+        packed=packed,
+    )
+
+
 def build_bcsr(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -209,6 +420,7 @@ def build_bcsr(
     block: int = BLOCK,
     chunk: int = CHUNK,
     pack: bool = True,
+    band: bool = True,
 ) -> Optional[BCSR]:
     """Host-side tile build (collate time, off the device critical path).
 
@@ -221,9 +433,17 @@ def build_bcsr(
         s, r = s[m], r[m]
     if s.size == 0:
         return None
+
+    def _dir(rows, cols):
+        if band:
+            bd = _build_band_direction(rows, cols, num_nodes, block, pack)
+            if bd is not None:
+                return bd
+        return _build_one_direction(rows, cols, num_nodes, block, chunk, pack)
+
     try:
-        fwd = _build_one_direction(r, s, num_nodes, block, chunk, pack)
-        bwd = _build_one_direction(s, r, num_nodes, block, chunk, pack)
+        fwd = _dir(r, s)
+        bwd = _dir(s, r)
     except ValueError:
         return None
     # pay-off cap: the tiles must move fewer bytes than the gather+scatter
@@ -231,7 +451,13 @@ def build_bcsr(
     # at 512 B/edge). A giant graph with no locality (random senders)
     # scatters one edge per tile and fails this; an 8 MB floor keeps small
     # graphs usable in tests regardless.
-    worst = max(fwd.a.shape[0], bwd.a.shape[0]) * block * chunk
+
+    def _dense_elems(d):
+        if isinstance(d, BandDir):
+            return d.num_blocks * d.block * d.width
+        return d.a.shape[0] * d.block * d.a.shape[2]
+
+    worst = max(_dense_elems(fwd), _dense_elems(bwd))
     if worst > max(s.size * 512, 8 << 20):
         return None
     return BCSR(fwd=fwd, bwd=bwd)
@@ -489,7 +715,10 @@ def bcsr_matmul(
     One grid step per output row block; its tiles stream through the manual
     DMA pipeline in the kernel. Single-feature-tile calls (F <= 256) route
     through the ring-cached kernel (x chunks DMA'd ~once per layer).
+    Band-aligned directions dispatch to ``band_matmul``.
     Returns [NB*B, F]; the caller slices to its node count."""
+    if isinstance(d, BandDir):
+        return band_matmul(d, x, x_passes)
     x, t, b, c, f, ft, nf = _common_shapes(d, x)
     if nf == 1 and ft <= 256:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -558,6 +787,179 @@ def bcsr_matmul(
             transcendentals=0,
         ),
     )(d.row_ptr, d.chunk_of, d.a, x)
+
+
+def _band_kernel(
+    col0_ref,  # scalar prefetch: [NB] first sender column per block
+    ostart_ref,  # scalar prefetch: [To] outlier window starts
+    orow_ptr_ref,  # scalar prefetch: [NB+1] outlier tile offsets per block
+    a_ref,  # [NB, B or B//8, W] int8 (HBM)
+    oa_ref,  # [To, B or B//8, OUT_W] int8 (HBM)
+    x_ref,  # [N_pad, F] float (HBM)
+    o_ref,  # [B, ft] (VMEM)
+    a_buf,  # [2, B or B//8, W] int8
+    x_buf,  # [2, W, ft]
+    oa_buf,  # [2, B or B//8, OUT_W] int8
+    ox_buf,  # [2, OUT_W, ft]
+    sems,  # DMA sems [2, 2]
+    osems,  # DMA sems [2, 2]
+    *,
+    x_passes: int,
+    ft: int,
+    packed: bool,
+    nb: int,
+):
+    """One grid step per row block; its single [B, W] band tile and the
+    x[col0 : col0+W] window double-buffer across grid steps (block i+1's
+    DMAs are issued before block i's dot, so the ~330 KB/block of traffic
+    hides under the ~B*W*F MACs). The block's outlier tiles — empty for
+    all but e.g. the wrap-edge blocks of a periodic lattice — stream
+    through their own small double-buffered loop after the band dot."""
+    j = pl.program_id(0)  # feature tile
+    i = pl.program_id(1)  # row block
+    w = x_buf.shape[1]
+    ow = ox_buf.shape[1]
+
+    def dmas(slot, blk):
+        return (
+            pltpu.make_async_copy(
+                a_ref.at[blk], a_buf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                x_ref.at[
+                    pl.ds(pl.multiple_of(col0_ref[blk], BAND_ALIGN), w),
+                    pl.ds(j * ft, ft),
+                ],
+                x_buf.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    def odmas(slot, t):
+        return (
+            pltpu.make_async_copy(
+                oa_ref.at[t], oa_buf.at[slot], osems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                x_ref.at[
+                    pl.ds(pl.multiple_of(ostart_ref[t], BAND_ALIGN), ow),
+                    pl.ds(j * ft, ft),
+                ],
+                ox_buf.at[slot],
+                osems.at[slot, 1],
+            ),
+        )
+
+    t0 = orow_ptr_ref[i]
+    t1 = orow_ptr_ref[i + 1]
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for d in dmas((i + 1) % 2, i + 1):
+            d.start()
+
+    @pl.when(t0 < t1)
+    def _():
+        for d in odmas(0, t0):
+            d.start()
+
+    slot = jax.lax.rem(i, 2)
+    for d in dmas(slot, i):
+        d.wait()
+
+    a = _unpack_a(a_buf[slot], packed)
+    acc = None
+    for term in _x_terms(x_buf[slot], x_passes):
+        part = jax.lax.dot_general(
+            a, term,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+
+    def obody(t, acc):
+        sl = jax.lax.rem(t - t0, 2)
+
+        @pl.when(t + 1 < t1)
+        def _():
+            for d in odmas(1 - sl, t + 1):
+                d.start()
+
+        for d in odmas(sl, t):
+            d.wait()
+        ao = _unpack_a(oa_buf[sl], packed)
+        for term in _x_terms(ox_buf[sl], x_passes):
+            acc = acc + jax.lax.dot_general(
+                ao, term,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(t0, t1, obody, acc)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def band_matmul(
+    d: BandDir,
+    x: jnp.ndarray,
+    x_passes: int = X_PASSES,
+) -> jnp.ndarray:
+    """out[i*B : +B] = a[i] @ x[col0[i] : col0[i]+W] — the band-aligned
+    one-tile-per-block variant of ``bcsr_matmul``. Returns [NB*B, F]."""
+    n, f = x.shape
+    n_cap = _round_up(n, BAND_ALIGN)
+    if n_cap != n:
+        x = jnp.pad(x, ((0, n_cap - n), (0, 0)))
+    assert f % 128 == 0, f
+    assert n_cap >= d.width, (n_cap, d.width)
+    ft = f if f <= F_TILE_MAX else F_TILE_MAX
+    while f % ft:
+        ft //= 2
+    nf = f // ft
+    b = d.block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nf, d.num_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # band tiles
+            pl.BlockSpec(memory_space=pltpu.ANY),  # outlier tiles
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x
+        ],
+        out_specs=pl.BlockSpec((b, ft), lambda j, i, c0, os, rp: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + d.a.shape[1:], d.a.dtype),
+            pltpu.VMEM((2, d.width, ft), x.dtype),
+            pltpu.VMEM((2,) + d.oa.shape[1:], d.oa.dtype),
+            pltpu.VMEM((2, OUT_W, ft), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _band_kernel, x_passes=x_passes, ft=ft, packed=d.packed,
+            nb=d.num_blocks,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d.num_blocks * b, f), x.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (d.num_blocks * d.width + d.oa.shape[0] * OUT_W)
+            * b * f * max(x_passes, 1),
+            bytes_accessed=(int(d.a.size) + int(d.oa.size)) * nf
+            + d.num_blocks * (d.width + OUT_W) * f * x.dtype.itemsize
+            + d.num_blocks * b * f * 4,
+            transcendentals=0,
+        ),
+    )(d.col0, d.ostart, d.orow_ptr, d.a, d.oa, x)
 
 
 def bcsr_matmul_tilegrid(

@@ -59,7 +59,7 @@ def test_bcsr_forward_matches_xla():
 def test_bcsr_tilegrid_variant_matches():
     s, r, mask = _banded_graph(seed=2)
     n, f = 2000, 128
-    bc = build_bcsr(s, r, mask, n, pack=False)
+    bc = build_bcsr(s, r, mask, n, pack=False, band=False)
     x = np.random.RandomState(3).randn(n, f).astype(np.float32)
     got = np.asarray(bcsr_matmul_tilegrid(bc.fwd, jnp.asarray(x))[:n])
     want = _xla_ref(x, s, r, mask, n)
@@ -95,6 +95,94 @@ def test_bcsr_multiplicity_and_empty_blocks():
     got = np.asarray(bcsr_spmm(jnp.asarray(x), bc))
     want = _xla_ref(x, s[:keep], r[:keep], mask[:keep], n)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_band_direction_built_and_matches_grid():
+    # the banded graph should take the band-aligned one-tile-per-block
+    # path; grid-aligned tiles and XLA must agree with it
+    from hydragnn_tpu.ops.bcsr import BandDir
+
+    s, r, mask = _banded_graph(seed=9)
+    n, f = 2000, 128
+    bc_band = build_bcsr(s, r, mask, n)
+    bc_grid = build_bcsr(s, r, mask, n, band=False)
+    assert isinstance(bc_band.fwd, BandDir) and isinstance(
+        bc_band.bwd, BandDir
+    )
+    assert not isinstance(bc_grid.fwd, BandDir)
+    x = np.random.RandomState(10).randn(n, f).astype(np.float32)
+    want = _xla_ref(x, s, r, mask, n)
+    for bc in (bc_band, bc_grid):
+        got = np.asarray(bcsr_spmm(jnp.asarray(x), bc))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_band_col0_clamp_at_array_tail():
+    # edges concentrated at the TOP of the node range: col0 must clamp to
+    # n_cap - width so the x-window DMA stays inside the padded array
+    n, f = 1000, 128
+    r = np.arange(n - 60, n).repeat(4)
+    s = np.clip(
+        r + np.random.RandomState(11).randint(-50, 51, r.shape[0]), 0, n - 1
+    )
+    bc = build_bcsr(s, r, None, n)
+    x = np.random.RandomState(12).randn(n, f).astype(np.float32)
+    got = np.asarray(bcsr_spmm(jnp.asarray(x), bc))
+    want = _xla_ref(x, s, r, None, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_band_outlier_tiles_periodic_wrap():
+    # a 1D ring in natural order: every block is narrow-band except the
+    # wrap edges (0 <-> n-1), which must land in outlier tiles and still
+    # aggregate exactly
+    from hydragnn_tpu.ops.bcsr import BandDir
+
+    n, f = 4096, 128
+    i = np.arange(n)
+    s = np.concatenate([(i - 1) % n, (i + 1) % n, i])
+    r = np.concatenate([i, i, i])
+    bc = build_bcsr(s, r, None, n)
+    assert isinstance(bc.fwd, BandDir)
+    assert bc.fwd.width < n  # wrap edges did not blow up the window
+    assert int(bc.fwd.orow_ptr[-1]) > 0  # ...they became outliers
+    x = np.random.RandomState(13).randn(n, f).astype(np.float32)
+    got = np.asarray(bcsr_spmm(jnp.asarray(x), bc))
+    want = _xla_ref(x, s, r, None, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_band_order_picks_raster_for_torus_and_rcm_for_shuffled():
+    from hydragnn_tpu.data.ordering import band_order
+
+    # periodic 2D Moore lattice, natural raster order: RCM's BFS level
+    # sets are ~2x the raster band, so identity must win (96x96 is past
+    # the crossover; tiny lattices can legitimately prefer RCM)
+    from itertools import product
+
+    dims = (96, 96)
+    n = dims[0] * dims[1]
+    idx = np.arange(n).reshape(dims)
+    shifts = []
+    for off in product((-1, 0, 1), repeat=2):
+        if any(off):
+            sh = idx
+            for ax, d in enumerate(off):
+                if d:
+                    sh = np.roll(sh, d, axis=ax)
+            shifts.append(sh)
+    s = np.concatenate([sh.ravel() for sh in shifts])
+    r = np.tile(idx.ravel(), len(shifts))
+    ei = np.stack([s, r])
+    perm = band_order(ei, n, block=512)
+    assert (perm == np.arange(n)).all()  # raster band beats RCM's
+
+    # shuffled labels: identity is bandless, RCM must win
+    rng = np.random.RandomState(0)
+    shuf = rng.permutation(n)
+    ei_shuf = shuf[ei]
+    perm2 = band_order(ei_shuf, n, block=512)
+    assert not (perm2 == np.arange(n)).all()
 
 
 def test_bcsr_rejects_bandless_giant_graph():
