@@ -103,6 +103,71 @@ def model_flops_per_step(mpnn_type, H, layers, N, E, bwd_factor=3.0):
             + 2 * E * H * H          # filter mlp_1
             + 2 * N * H * H          # lin2
         )
+    elif mpnn_type == "SAGE":
+        # models/sage.py: lin_l (agg) + lin_r (self), both H -> H on nodes
+        per_layer = 2 * N * H * H * 2
+    elif mpnn_type == "MFC":
+        # models/mfc.py: per-degree root+neighbor matmuls, scan over
+        # D = max_neighbours + 1 degree slots, EVERY node each (masked
+        # select) — the dense work is D x (2 matmuls)
+        D = 17  # harness: max_neighbours = deg = 16
+        per_layer = 2 * N * H * H * 2 * D
+    elif mpnn_type == "CGCNN":
+        # models/cgcnn.py CGConv: lin_f + lin_s, each [E, 2H] -> H
+        per_layer = 2 * E * (2 * H) * H * 2
+    elif mpnn_type == "GAT":
+        # models/gat.py GATv2 (heads=6, concat on hidden layers): layer 0
+        # takes H, hidden layers take 6H; lin_l + lin_r each I -> 6H; the
+        # dense-attention alpha @ V bmm is 2*G*S^2*6H per graph-slot S
+        # (the pairwise LeakyReLU logits are VPU elementwise, excluded
+        # per matmul-MFU convention). Harness: S = N/G is the node slot.
+        heads = 6
+        fwd = 0
+        for il in range(layers):
+            I = H if il == 0 else H * heads
+            fwd += 2 * N * I * (heads * H) * 2
+        # attention contractions: logits reduce + alpha@V, both per layer
+        # with S^2 pairs: N * S * (heads*H) each
+        S = 64
+        fwd += layers * 2 * N * S * heads * H * 2
+        return fwd * bwd_factor
+    elif mpnn_type == "PNAPlus":
+        # models/pnaplus.py: pre_nn dst/src (2 N·H^2), post_nn [inv,16F]
+        # -> F (17), lin (1); edges: pre_nn_enc (E·H^2), rbf_emb + rbf_lin
+        # (nr -> H each)
+        nr = 5
+        per_layer = (
+            2 * N * H * H * (2 + 17 + 1)
+            + 2 * E * H * H
+            + 2 * E * nr * H * 2
+        )
+    elif mpnn_type == "PNAEq":
+        # models/pnaeq.py PNAEqMessage: edge MLP chain pre_nn(3H->H),
+        # smlp_0/1 (H->H), smlp_2 (H->3H), rbf_emb (nr->H), rbf_lin
+        # (nr->3H); nodes: post_nn ([x,20F] -> F)
+        nr = 5
+        per_layer = (
+            2 * E * H * H * (3 + 1 + 1 + 3)
+            + 2 * E * nr * H * 4
+            + 2 * N * 21 * H * H
+        )
+    elif mpnn_type == "DimeNet":
+        # models/dimenet.py InteractionPP main matmul terms per layer:
+        # lin_ji/lin_kj (E·H^2 x2), lin_down (H->i), lin_up (i->H),
+        # rbf2 (b->H), residuals (nbs+nas blocks of 2 H^2 Denses on E),
+        # output block lin_up (H->out_emb) + 3 out_emb^2 Denses on N.
+        # Triplet-side sbf contractions scale with T = E*deg (excluded:
+        # dominated by E-side at harness shapes). Harness arch defaults:
+        # int_emb 64, basis_emb 8, out_emb 128, nbs=1, nas=2.
+        i_emb, b_emb, o_emb, nbs, nas = 64, 8, 128, 1, 2
+        per_layer = (
+            2 * E * H * H * 2
+            + 2 * E * H * i_emb * 2
+            + 2 * E * b_emb * H
+            + 2 * E * H * H * 2 * (nbs + nas)
+            + 2 * E * H * o_emb
+            + 2 * N * o_emb * o_emb * 3
+        )
     else:
         return None
     fwd = per_layer * layers
@@ -193,6 +258,13 @@ def main():
         envelope_exponent=5,
         num_gaussians=10,
         num_filters=args.hidden,
+        # DimeNet++ block sizes (reference CI defaults; unused elsewhere)
+        num_spherical=7,
+        num_before_skip=1,
+        num_after_skip=2,
+        basis_emb_size=8,
+        int_emb_size=64,
+        out_emb_size=128,
         equivariance=args.equivariant,
         task_weights=(1.0,) * len(out_dim),
         # harness graphs have exactly `deg` in-edges per node

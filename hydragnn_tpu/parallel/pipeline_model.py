@@ -16,7 +16,10 @@ per-layer pytrees, so they stack [S, k] alongside the params
 (``split_conv_state``) and each stage applies its norm in eval mode
 (running statistics are not UPDATED inside the pipeline — the sequential
 definition this must equal runs eval-mode norms as well). GPS-wrapped
-stacks and MACE (per-layer decoders) are out of scope and raise.
+stacks are staged as full GPSConv layers (local conv + per-graph global
+attention + FFN; the wrapped conv's params are the sibling ``conv_{i}``
+tree, its norm1-3 running stats ride the stacked pytree). MACE (per-layer
+decoders need every stage's output) is out of scope and raises.
 
 Beyond reference parity: the reference has no pipeline axis at all
 (SURVEY.md §2.2 "NOT present").
@@ -40,10 +43,21 @@ from hydragnn_tpu.parallel.pipeline import (
 )
 
 
-def _conv_layer_names(params: Dict[str, Any]):
+def pipeline_prefix(cfg: ArchConfig) -> str:
+    """Layer-param prefix staged by the pipeline: GPS-wrapped stacks name
+    their conv layers ``gps_{i}`` (models/base.py setup), plain stacks
+    ``conv_{i}``."""
+    return (
+        "gps_"
+        if cfg.use_global_attn and cfg.global_attn_engine == "GPS"
+        else "conv_"
+    )
+
+
+def _conv_layer_names(params: Dict[str, Any], prefix: str = "conv_"):
     names = sorted(
-        (k for k in params if k.startswith("conv_")),
-        key=lambda s: int(s.split("_")[1]),
+        (k for k in params if k.startswith(prefix)),
+        key=lambda s: int(s.split("_")[-1]),
     )
     return names
 
@@ -52,6 +66,7 @@ def split_conv_state(
     params: Dict[str, Any],
     batch_stats: Optional[Dict[str, Any]],
     n_stages: int,
+    prefix: str = "conv_",
 ):
     """Full flax state -> (outer_params, outer_stats, stacked).
 
@@ -62,7 +77,7 @@ def split_conv_state(
     by n_stages."""
     params = dict(params)
     batch_stats = dict(batch_stats) if batch_stats else {}
-    names = _conv_layer_names(params)
+    names = _conv_layer_names(params, prefix)
     pipe_names = names[1:]
     assert len(pipe_names) % n_stages == 0, (
         f"{len(pipe_names)} pipelined layers not divisible by "
@@ -70,8 +85,21 @@ def split_conv_state(
     )
     layers = []
     for nm in pipe_names:
-        i = int(nm.split("_")[1])
-        layer = {"conv": params.pop(nm)}
+        i = int(nm.split("_")[-1])
+        if prefix == "gps_":
+            # a GPS layer is TWO sibling param trees: gps_{i} (attention +
+            # FFN + norm1-3) and conv_{i} (the wrapped local conv, bound
+            # to the stack in base.setup before wrapping)
+            layer = {
+                "gps": params.pop(nm),
+                "conv": params.pop(f"conv_{i}"),
+            }
+            if nm in batch_stats:
+                layer["gps_stats"] = batch_stats.pop(nm)
+            if f"conv_{i}" in batch_stats:
+                layer["conv_inner_stats"] = batch_stats.pop(f"conv_{i}")
+        else:
+            layer = {"conv": params.pop(nm)}
         norm_nm = f"norm_{i}"
         if norm_nm in params:
             layer["norm"] = params.pop(norm_nm)
@@ -82,13 +110,15 @@ def split_conv_state(
     return params, batch_stats, stacked
 
 
-def split_conv_params(params: Dict[str, Any], n_stages: int):
+def split_conv_params(params: Dict[str, Any], n_stages: int,
+                      prefix: str = "conv_"):
     """Params-only convenience wrapper of ``split_conv_state``."""
-    outer, _, stacked = split_conv_state(params, None, n_stages)
+    outer, _, stacked = split_conv_state(params, None, n_stages, prefix)
     return outer, stacked
 
 
-def merge_conv_params(outer: Dict[str, Any], stacked) -> Dict[str, Any]:
+def merge_conv_params(outer: Dict[str, Any], stacked,
+                      prefix: str = "conv_") -> Dict[str, Any]:
     """Inverse of split_conv_params (for checkpoints / comparisons)."""
     full = dict(outer)
     leaves = jax.tree_util.tree_leaves(stacked)
@@ -98,16 +128,18 @@ def merge_conv_params(outer: Dict[str, Any], stacked) -> Dict[str, Any]:
             layer = jax.tree_util.tree_map(lambda a: a[s, j], stacked)
             i = 1 + s * k + j
             full[f"conv_{i}"] = layer["conv"]
+            if "gps" in layer:
+                full[f"gps_{i}"] = layer["gps"]
             if "norm" in layer:
                 full[f"norm_{i}"] = layer["norm"]
     return full
 
 
-def merge_conv_state(outer, outer_stats, stacked):
+def merge_conv_state(outer, outer_stats, stacked, prefix: str = "conv_"):
     """Inverse of split_conv_state -> (params, batch_stats).
     merge_conv_params only reads the "conv"/"norm" entries, so the staged
-    "stats" are re-homed into the batch_stats tree here."""
-    params = merge_conv_params(outer, stacked)
+    "stats"/"conv_stats" are re-homed into the batch_stats tree here."""
+    params = merge_conv_params(outer, stacked, prefix)
     stats = dict(outer_stats) if outer_stats else {}
     leaves = jax.tree_util.tree_leaves(stacked)
     S, k = leaves[0].shape[:2]
@@ -116,6 +148,10 @@ def merge_conv_state(outer, outer_stats, stacked):
             layer = jax.tree_util.tree_map(lambda a: a[s, j], stacked)
             if "stats" in layer:
                 stats[f"norm_{1 + s * k + j}"] = layer["stats"]
+            if "gps_stats" in layer:
+                stats[f"gps_{1 + s * k + j}"] = layer["gps_stats"]
+            if "conv_inner_stats" in layer:
+                stats[f"conv_{1 + s * k + j}"] = layer["conv_inner_stats"]
     return params, stats
 
 
@@ -131,8 +167,6 @@ def make_pipelined_hydra_loss(
     ``micro_batches`` is a GraphBatch pytree with leading M on every leaf
     (trainer.stack_batches of M microbatches) and the loss is the mean of
     the trainer's per-microbatch losses (models/losses.compute_loss)."""
-    if cfg.use_global_attn:
-        raise NotImplementedError("pipeline staging does not cover GPS")
     if cfg.mpnn_type == "MACE":
         raise NotImplementedError(
             "MACE's per-layer decoders need every stage's output"
@@ -144,10 +178,28 @@ def make_pipelined_hydra_loss(
     import types as _types
 
     shim = _types.SimpleNamespace(cfg=cfg)
+    is_gps = cfg.use_global_attn and cfg.global_attn_engine == "GPS"
     conv_template = type(model).get_conv(
-        shim, cfg.hidden_dim, cfg.hidden_dim, edge_dim=cfg.edge_dim,
-        name=None,
+        shim, cfg.hidden_dim, cfg.hidden_dim,
+        edge_dim=(
+            cfg.hidden_dim if cfg.use_global_attn else cfg.edge_dim
+        ),
+        # match split_conv_state's canonical inner-conv scope name
+        name="conv" if is_gps else None,
     )
+    if is_gps:
+        # mirror models/base.py setup: each staged layer is the full
+        # GPSConv (local conv + global attention + FFN, norm1-3 running
+        # stats riding the stacked pytree as "conv_stats")
+        from hydragnn_tpu.models.gps import GPSConv
+
+        conv_template = GPSConv(
+            channels=cfg.hidden_dim,
+            conv=conv_template,
+            heads=cfg.global_attn_heads,
+            dropout=cfg.dropout,
+            attn_type=cfg.global_attn_type or "multihead",
+        )
 
     from hydragnn_tpu.models.layers import (
         MaskedBatchNorm,
@@ -159,8 +211,19 @@ def make_pipelined_hydra_loss(
 
     def layer_fn(p, h, bundle):
         mb, ctx, equiv = bundle
+        if "gps" in p:
+            # GPSConv template: attention/FFN/norm1-3 params from gps_{i},
+            # the wrapped conv's params grafted in under its "conv" scope
+            variables = {"params": dict(p["gps"], conv=p["conv"])}
+            bs = dict(p.get("gps_stats", {}))
+            if "conv_inner_stats" in p:
+                bs["conv"] = p["conv_inner_stats"]
+            if bs:
+                variables["batch_stats"] = bs
+        else:
+            variables = {"params": p["conv"]}
         out, _ = conv_template.apply(
-            {"params": p["conv"]}, h, equiv, mb, ctx, train=False
+            variables, h, equiv, mb, ctx, train=False
         )
         if "norm" in p:
             # staged MaskedBatchNorm in eval mode: params [scale, bias]
