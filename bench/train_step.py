@@ -258,6 +258,12 @@ def main():
         envelope_exponent=5,
         num_gaussians=10,
         num_filters=args.hidden,
+        # MACE equivariant sizes (reference CI defaults; unused elsewhere)
+        max_ell=(2 if args.mpnn_type == "MACE" else None),
+        node_max_ell=(1 if args.mpnn_type == "MACE" else None),
+        avg_num_neighbors=(float(args.deg) if args.mpnn_type == "MACE"
+                           else None),
+        correlation=((2,) if args.mpnn_type == "MACE" else None),
         # DimeNet++ block sizes (reference CI defaults; unused elsewhere)
         num_spherical=7,
         num_before_skip=1,
