@@ -2,7 +2,8 @@
 
 The message-aggregation contract — out[r] = sum_{e: recv_e = r} x[send_e]
 (ref: hydragnn/models/Base.py conv loop, torch_scatter at Base.py:18) — on a
-single RCM-ordered giant graph. The fused one-hot kernel
+single band-ordered giant graph (``data/ordering.band_order`` scores
+candidate orderings under this module's cost model). The fused one-hot kernel
 (ops/pallas_spmm.py) rebuilds the adjacency block from the edge list EVERY
 layer: one-hot construction + the A-build matmul are both ∝ window width, so
 wide windows (W >= 4096, any graph over ~4k nodes) made it compute-starved
@@ -20,9 +21,12 @@ is STATIC: collate builds it ONCE on the host as a flat RAGGED list of dense
     (a max-K padded layout wastes 20-40% on band-width variance)
   - tile entries are int8 edge multiplicities (exact, counts < 128)
 
-Because RCM bounds the true bandwidth, the tile count tracks the graph's
+Because the ordering bounds the band, the tile count tracks the graph's
 actual band (~2 sqrt-N for lattices), not the global window that defeated
-the one-hot kernel.
+the one-hot kernel. The default direction structure is the band-aligned
+``BandDir`` (one [B, W] tile per row block at a robustly chosen column
+offset + ragged outlier tiles); the grid-aligned ``BCSRDir`` below remains
+the fallback when no uniform window pays off.
 
 The per-layer device op is a pure banded matmul streamed by the Pallas grid
 pipeline: out[blk_of[t]] += a[t] @ x[chunk_of[t]] with the fp32 accumulator
@@ -725,8 +729,8 @@ def bcsr_matmul(
             num_scalar_prefetch=3,
             grid=(d.num_blocks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # a tiles
-                pl.BlockSpec(memory_space=pltpu.ANY),  # x
+                pl.BlockSpec(memory_space=pl.ANY),  # a tiles
+                pl.BlockSpec(memory_space=pl.ANY),  # x
             ],
             out_specs=pl.BlockSpec((b, ft), lambda i, rp, ch, fl: (i, 0)),
             scratch_shapes=[
@@ -759,8 +763,8 @@ def bcsr_matmul(
         num_scalar_prefetch=2,
         grid=(nf, d.num_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # a tiles
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x
+            pl.BlockSpec(memory_space=pl.ANY),  # a tiles
+            pl.BlockSpec(memory_space=pl.ANY),  # x
         ],
         out_specs=pl.BlockSpec((b, ft), lambda j, i, rp, ch: (i, j)),
         scratch_shapes=[
@@ -927,9 +931,9 @@ def band_matmul(
         num_scalar_prefetch=3,
         grid=(nf, d.num_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # band tiles
-            pl.BlockSpec(memory_space=pltpu.ANY),  # outlier tiles
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x
+            pl.BlockSpec(memory_space=pl.ANY),  # band tiles
+            pl.BlockSpec(memory_space=pl.ANY),  # outlier tiles
+            pl.BlockSpec(memory_space=pl.ANY),  # x
         ],
         out_specs=pl.BlockSpec((b, ft), lambda j, i, c0, os, rp: (i, j)),
         scratch_shapes=[

@@ -227,3 +227,18 @@ def test_collate_builds_bcsr_and_gin_uses_it():
         bcsr=batch.bcsr,
     )
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-5)
+
+
+def test_band_multi_feature_tile_path():
+    # F > F_TILE_MAX exercises the (nf, NB) grid: the j-transition re-DMA
+    # logic must produce every feature tile correctly
+    from hydragnn_tpu.ops.bcsr import BandDir, F_TILE_MAX
+
+    s, r, mask = _banded_graph(seed=14, n=1200, deg=4, band=200)
+    n, f = 1200, 2 * F_TILE_MAX
+    bc = build_bcsr(s, r, mask, n)
+    assert isinstance(bc.fwd, BandDir)
+    x = np.random.RandomState(15).randn(n, f).astype(np.float32)
+    got = np.asarray(bcsr_spmm(jnp.asarray(x), bc))
+    want = _xla_ref(x, s, r, mask, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
