@@ -57,8 +57,10 @@ def main():
         (2048, True, 512),
     ]
     for chunk, pack, block in configs:
+            # band=False: this sweep probes the grid-aligned tile variants
+            # (the band-aligned BandDir path would ignore chunk/pack knobs)
             bc = build_bcsr(send, recv, None, n, block=block, chunk=chunk,
-                            pack=pack)
+                            pack=pack, band=False)
             if bc is None:
                 print(json.dumps({"chunk": chunk, "pack": pack,
                                   "block": block,
