@@ -136,7 +136,7 @@ def main():
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from hydragnn_tpu.parallel.graph_parallel import partitioned_spmm
 
     B = N // D
@@ -152,7 +152,7 @@ def main():
         in_specs=(P("graph"), P("graph"), P("graph"), P("graph"),
                   P("graph")),
         out_specs=P("graph"),
-        check_rep=False,
+        check_vma=False,
     )
     hlo_ag = (
         jax.jit(lambda x: ag(x, senders, recv_local, is_local, valid))

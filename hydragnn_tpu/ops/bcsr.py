@@ -241,8 +241,9 @@ def _build_one_direction(
     )
 
 
-BAND_W_CAP = 8192  # widest per-block column window (VMEM: 2 x W x 128 x 4
-# double-buffered fp32 x windows = 8 MB at the cap with ft=128)
+BAND_W_CAP = 8192  # widest per-block column window (VMEM: 2 x W x ft x 4
+# double-buffered fp32 x windows = 8 MB at the cap with ft=128; band_matmul
+# bounds W*ft <= BAND_W_CAP*128 by shrinking the feature tile)
 BAND_ALIGN = 128  # col0 alignment (lane-width DMA offsets)
 
 
@@ -331,7 +332,7 @@ def _pack_tiles(ti, rr, cc, cnt, n_tiles, block, width, pack, mx):
 
 
 def _build_band_direction(
-    rows, cols, num_nodes, block, pack=True
+    rows, cols, num_nodes, block, pack=True, chunk=CHUNK
 ) -> Optional[BandDir]:
     """One [B, W] tile per row block at a robustly-chosen 128-aligned
     column offset, plus ragged outlier tiles for out-of-window edges.
@@ -353,10 +354,10 @@ def _build_band_direction(
     # (1 tile/block vs ~3-6 ragged tiles: measured bf16 win at equal or
     # slightly higher element count, bench/results/train_step_r4.md)
     grid_tiles = np.unique(
-        (rows // block).astype(np.int64) * (num_nodes // CHUNK + 2)
-        + cols // CHUNK
+        (rows // block).astype(np.int64) * (num_nodes // chunk + 2)
+        + cols // chunk
     ).shape[0]
-    if cost > 1.25 * max(grid_tiles, nb) * block * CHUNK:
+    if cost > 1.25 * max(grid_tiles, nb) * block * chunk:
         return None
 
     rb = rows // block
@@ -440,7 +441,9 @@ def build_bcsr(
 
     def _dir(rows, cols):
         if band:
-            bd = _build_band_direction(rows, cols, num_nodes, block, pack)
+            bd = _build_band_direction(
+                rows, cols, num_nodes, block, pack, chunk
+            )
             if bd is not None:
                 return bd
         return _build_one_direction(rows, cols, num_nodes, block, chunk, pack)
@@ -924,6 +927,12 @@ def band_matmul(
     assert n_cap >= d.width, (n_cap, d.width)
     ft = f if f <= F_TILE_MAX else F_TILE_MAX
     while f % ft:
+        ft //= 2
+    # VMEM bound couples the window width to the feature tile: the
+    # double-buffered x window is 2*W*ft*itemsize bytes, budgeted as 8 MB
+    # fp32 at (W=BAND_W_CAP, ft=128). Wide bands with wide features must
+    # shrink ft jointly or Mosaic overflows VMEM (advisor r4 finding).
+    while ft > 128 and d.width * ft > BAND_W_CAP * 128:
         ft //= 2
     nf = f // ft
     b = d.block

@@ -149,8 +149,8 @@ def _gather_pallas(x_pad, ids_pad, bases, tile, window, passes):
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ids
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x
+            pl.BlockSpec(memory_space=pl.ANY),  # ids
+            pl.BlockSpec(memory_space=pl.ANY),  # x
         ],
         out_specs=pl.BlockSpec(
             (tile, F), lambda t, *_: (t, 0), memory_space=pltpu.VMEM

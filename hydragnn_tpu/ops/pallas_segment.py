@@ -215,8 +215,8 @@ def _segment_sum_csr_impl(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # recv
-            pl.BlockSpec(memory_space=pltpu.ANY),  # msgs
+            pl.BlockSpec(memory_space=pl.ANY),  # recv
+            pl.BlockSpec(memory_space=pl.ANY),  # msgs
         ],
         out_specs=pl.BlockSpec(
             (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
@@ -447,8 +447,8 @@ def _segment_sum_csr_impl_v2(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
@@ -626,8 +626,8 @@ def _segment_sum_local_kernel(
         num_scalar_prefetch=2,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM

@@ -382,10 +382,10 @@ def _spmm_pallas(
         num_scalar_prefetch=2,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # send
-            pl.BlockSpec(memory_space=pltpu.ANY),  # recv
-            pl.BlockSpec(memory_space=pltpu.ANY),  # w
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x
+            pl.BlockSpec(memory_space=pl.ANY),  # send
+            pl.BlockSpec(memory_space=pl.ANY),  # recv
+            pl.BlockSpec(memory_space=pl.ANY),  # w
+            pl.BlockSpec(memory_space=pl.ANY),  # x
         ],
         out_specs=pl.BlockSpec(
             (row_block, F), lambda b, *_: (b, 0), memory_space=pltpu.VMEM

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 import optax
 
 from hydragnn_tpu.graph import GraphBatch
@@ -166,6 +166,6 @@ def make_partitioned_spmm(mesh: Mesh, n_local: int, axis: str = "graph"):
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=P(axis),
-            check_rep=False,
+            check_vma=False,
         )
     )

@@ -42,7 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from hydragnn_tpu.graph import GraphBatch
 
@@ -209,7 +209,7 @@ def make_halo_spmm(mesh: Mesh, axis: str = "graph"):
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
 
     def run(x: jnp.ndarray, batch: GraphBatch,

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 import optax
 
 from hydragnn_tpu.graph import GraphBatch, GraphSample, collate
@@ -111,7 +111,7 @@ def make_parallel_train_step(
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped, donate_argnums=(0,))
 

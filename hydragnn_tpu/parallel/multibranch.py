@@ -174,7 +174,7 @@ def make_branch_parallel_train_step(
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     import optax
 
     from hydragnn_tpu.train.trainer import make_loss_fn
@@ -214,7 +214,7 @@ def make_branch_parallel_train_step(
         mesh=mesh,
         in_specs=(repl, repl, repl, repl, P(axis), repl),
         out_specs=(repl, repl, repl, repl, repl, repl),
-        check_rep=False,
+        check_vma=False,
     )
 
     def train_step(state, batch, rng):

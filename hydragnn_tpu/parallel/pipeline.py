@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def stack_layer_params(params_list: Sequence[Any], n_stages: int):
@@ -113,7 +113,7 @@ def make_pipelined_apply(
         mesh=mesh,
         in_specs=(P(axis), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
 

@@ -117,9 +117,12 @@ def split_conv_params(params: Dict[str, Any], n_stages: int,
     return outer, stacked
 
 
-def merge_conv_params(outer: Dict[str, Any], stacked,
-                      prefix: str = "conv_") -> Dict[str, Any]:
-    """Inverse of split_conv_params (for checkpoints / comparisons)."""
+def merge_conv_params(outer: Dict[str, Any], stacked) -> Dict[str, Any]:
+    """Inverse of split_conv_params (for checkpoints / comparisons).
+
+    No prefix argument: GPS layers are detected by the "gps" key in the
+    stacked layer dict, and the reconstructed names are always conv_{i} /
+    gps_{i} / norm_{i} regardless of which prefix selected the layers."""
     full = dict(outer)
     leaves = jax.tree_util.tree_leaves(stacked)
     S, k = leaves[0].shape[:2]
@@ -135,11 +138,12 @@ def merge_conv_params(outer: Dict[str, Any], stacked,
     return full
 
 
-def merge_conv_state(outer, outer_stats, stacked, prefix: str = "conv_"):
+def merge_conv_state(outer, outer_stats, stacked):
     """Inverse of split_conv_state -> (params, batch_stats).
-    merge_conv_params only reads the "conv"/"norm" entries, so the staged
-    "stats"/"conv_stats" are re-homed into the batch_stats tree here."""
-    params = merge_conv_params(outer, stacked, prefix)
+    merge_conv_params only reads the "conv"/"gps"/"norm" entries, so the
+    staged "stats"/"gps_stats"/"conv_inner_stats" are re-homed into the
+    batch_stats tree here."""
+    params = merge_conv_params(outer, stacked)
     stats = dict(outer_stats) if outer_stats else {}
     leaves = jax.tree_util.tree_leaves(stacked)
     S, k = leaves[0].shape[:2]

@@ -139,7 +139,7 @@ def test_ring_attention_matches_dense():
     from functools import partial
 
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from hydragnn_tpu.parallel.ring_attention import ring_masked_attention
 
@@ -161,7 +161,7 @@ def test_ring_attention_matches_dense():
         mesh=mesh,
         in_specs=(P("graph"),) * 5,
         out_specs=P("graph"),
-        check_rep=False,
+        check_vma=False,
     ))
     out_ring = np.asarray(ring(q, k, v, jnp.asarray(gi), jnp.asarray(valid)))
 
@@ -184,7 +184,7 @@ def test_gps_attention_ring_axis_matches_dense():
     from functools import partial
 
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from hydragnn_tpu.models.gps import MaskedGraphAttention
 
@@ -205,7 +205,7 @@ def test_gps_attention_ring_axis_matches_dense():
 
     sharded = jax.jit(shard_map(
         fwd, mesh=mesh, in_specs=(P("graph"),) * 3, out_specs=P("graph"),
-        check_rep=False,
+        check_vma=False,
     ))
     o_ring = np.asarray(
         sharded(x, batch.node_graph_idx, batch.node_mask)

@@ -413,7 +413,7 @@ def test_pipelined_gps_matches_sequential():
         params, batch_stats, S, prefix
     )
     assert "gps_stats" in stacked, list(stacked)
-    merged_p, merged_s = merge_conv_state(outer, outer_stats, stacked, prefix)
+    merged_p, merged_s = merge_conv_state(outer, outer_stats, stacked)
     for k in params:
         np.testing.assert_array_equal(
             jax.tree_util.tree_leaves(merged_p[k])[0],
