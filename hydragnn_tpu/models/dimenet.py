@@ -26,13 +26,23 @@ from hydragnn_tpu.models.base import HydraBase
 from hydragnn_tpu.models.pnaplus import BesselBasisLayer
 from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
 from hydragnn_tpu.ops.segment import segment_sum
-from hydragnn_tpu.ops.spherical import spherical_basis
+from hydragnn_tpu.ops.spherical import angular_basis, spherical_radial
 
 
 class Triplets(NamedTuple):
     idx_kj: jnp.ndarray  # [T] edge id of k->j
     idx_ji: jnp.ndarray  # [T] edge id of j->i (sorted ascending)
     mask: jnp.ndarray  # [T] valid triplet
+    # E-scale slot machinery (None for hand-built Triplets): per-edge data
+    # gathered to triplet scale routes as edge -> [N, K] node slot table ->
+    # one WIDE row gather by senders, instead of a [T]-row narrow gather
+    # (T = E*K = 2.1M at the GFM shape; narrow T-scale gathers were the
+    # 0.017-MFU bottleneck of round 4)
+    slot_flat: Optional[jnp.ndarray] = None  # [N*K] edge id of slot (j, k)
+    back_idx: Optional[jnp.ndarray] = None  # [E] slot row owning edge e
+    back_valid: Optional[jnp.ndarray] = None  # [E] edge has a slot
+    senders: Optional[jnp.ndarray] = None  # [E] batch.senders
+    send_perm: Optional[jnp.ndarray] = None  # edge_perm_by_sender
 
 
 def build_triplets(batch: GraphBatch, max_neighbours: int) -> Triplets:
@@ -44,26 +54,79 @@ def build_triplets(batch: GraphBatch, max_neighbours: int) -> Triplets:
     send = batch.senders
     node_ids = jnp.arange(N + 1, dtype=jnp.int32)
     row_ptr = jnp.searchsorted(recv, node_ids, side="left").astype(jnp.int32)
-    base = row_ptr[send]  # [E] first edge incoming to j = senders[e]
-    cnt = row_ptr[send + 1] - base
     slots = jnp.arange(K, dtype=jnp.int32)
-    idx_kj = base[:, None] + slots[None, :]  # [E, K]
-    valid = slots[None, :] < cnt[:, None]
-    idx_kj = jnp.where(valid, idx_kj, E - 1)
-    k_nodes = send[idx_kj]
+    # node-level slot table: slot (j, k) = k-th incoming edge of node j
+    node_base = row_ptr[:N]
+    node_cnt = row_ptr[1:] - node_base
+    slot_edge = jnp.minimum(
+        node_base[:, None] + slots[None, :], E - 1
+    )  # [N, K]
+    slot_valid = slots[None, :] < node_cnt[:, None]
+    send_slot = send[slot_edge.reshape(-1)].reshape(N, K)
+    emask_slot = batch.edge_mask[slot_edge.reshape(-1)].reshape(N, K)
+    # per-edge views are E-scale row gathers of the [N, K] tables
+    idx_kj = jnp.where(slot_valid, slot_edge, E - 1)[send]  # [E, K]
+    valid = slot_valid[send]
+    k_nodes = send_slot[send]
     mask = (
         valid
         & (k_nodes != recv[:, None])  # remove i == k triplets
         & batch.edge_mask[:, None]
-        & batch.edge_mask[idx_kj]
+        & emask_slot[send]
     )
     idx_ji = jnp.broadcast_to(
         jnp.arange(E, dtype=jnp.int32)[:, None], (E, K)
     )
+    # backward map: edge e IS slot (recv[e], e - row_ptr[recv[e]])
+    back_slot = jnp.arange(E, dtype=jnp.int32) - row_ptr[recv]
+    back_valid = (back_slot >= 0) & (back_slot < K)
+    back_idx = recv * K + jnp.clip(back_slot, 0, K - 1)
     return Triplets(
         idx_kj=idx_kj.reshape(-1), idx_ji=idx_ji.reshape(-1),
         mask=mask.reshape(-1),
+        slot_flat=jnp.where(slot_valid, slot_edge, E - 1).reshape(-1),
+        back_idx=back_idx, back_valid=back_valid,
+        senders=send, send_perm=batch.edge_perm_by_sender,
     )
+
+
+@jax.custom_vjp
+def edge_to_slots(edge_arr, slot_flat, back_idx, back_valid):
+    """``edge_arr[slot_flat]`` ([E, D] -> [N*K, D]) whose backward is a
+    GATHER: the slot map is injective on valid slots (edge e occupies
+    exactly slot (recv[e], e - row_ptr[recv[e]])), and clamp-duplicated
+    invalid slots are always masked downstream (zero cotangent)."""
+    return edge_arr[slot_flat]
+
+
+def _ets_fwd(edge_arr, slot_flat, back_idx, back_valid):
+    return edge_arr[slot_flat], (back_idx, back_valid)
+
+
+def _ets_bwd(res, g):
+    back_idx, back_valid = res
+    d = jnp.where(back_valid[:, None], g[back_idx], 0.0).astype(g.dtype)
+    return (d, None, None, None)
+
+
+edge_to_slots.defvjp(_ets_fwd, _ets_bwd)
+
+
+def slot_gather(edge_arr: jnp.ndarray, trip: Triplets) -> jnp.ndarray:
+    """Per-triplet view of per-edge data: returns [E, K, D] equal to
+    ``edge_arr[trip.idx_kj].reshape(E, K, D)`` via the E-scale slot path
+    (one [N, K*D] table + one wide row gather by senders; the row gather's
+    backward is the Pallas-backed sender aggregation of ops/spmm)."""
+    from hydragnn_tpu.ops.spmm import gather_nodes
+
+    E, D = edge_arr.shape
+    NK = trip.slot_flat.shape[0]
+    K = trip.idx_kj.shape[0] // E
+    table = edge_to_slots(
+        edge_arr, trip.slot_flat, trip.back_idx, trip.back_valid
+    ).reshape(NK // K, K * D)
+    out = gather_nodes(table, trip.senders, trip.send_perm)
+    return out.reshape(E, K, D)
 
 
 class ResidualLayer(nn.Module):
@@ -99,9 +162,19 @@ class InteractionPPBlock(nn.Module):
         x_kj = act(nn.Dense(self.int_emb_size, use_bias=False, name="lin_down")(x_kj))
         s = nn.Dense(self.basis_emb_size, use_bias=False, name="lin_sbf1")(sbf)
         s = nn.Dense(self.int_emb_size, use_bias=False, name="lin_sbf2")(s)
-        t = x_kj[trip.idx_kj] * s
+        if trip.slot_flat is not None:
+            K = trip.idx_kj.shape[0] // E
+            xg = slot_gather(x_kj, trip).reshape(E * K, -1)
+        else:
+            xg = x_kj[trip.idx_kj]
+        t = xg * s
         t = t * trip.mask[:, None].astype(t.dtype)
-        x_kj = segment_sum(t, trip.idx_ji, E, indices_are_sorted=True)
+        # triplets are [E, K] row-major (idx_ji = arange(E) repeated K), so
+        # the per-edge reduction is a DENSE reshape-sum — no scatter at all
+        # (XLA's sorted scatter for [E*K, int_emb] costs ~10 ms at the GFM
+        # shape; this is one bandwidth pass)
+        K = t.shape[0] // E
+        x_kj = jnp.sum(t.reshape(E, K, -1), axis=1)
         x_kj = act(nn.Dense(self.hidden, use_bias=False, name="lin_up")(x_kj))
 
         h = x_ji + x_kj
@@ -208,13 +281,19 @@ class DIMEStack(HydraBase):
         inv, equiv, ctx = super()._embedding(batch)
         cfg = self.cfg
         trip = build_triplets(batch, cfg.max_neighbours or 16)
+        E = batch.num_edges
+        K = trip.idx_kj.shape[0] // E
         edge_vec, edge_dist = get_edge_vectors_and_lengths(
             batch.pos, batch.senders, batch.receivers, batch.edge_shifts,
             edge_mask=batch.edge_mask,
         )
-        # angle between edge ji and (composed) ki (ref: :173-182)
-        pos_ji = edge_vec[trip.idx_ji]
-        pos_kj = edge_vec[trip.idx_kj]
+        # angle between edge ji and (composed) ki (ref: :173-182).
+        # idx_ji repeats each edge K times -> a broadcast, not a gather;
+        # idx_kj routes through the E-scale slot tables (slot_gather)
+        pos_ji = jnp.broadcast_to(
+            edge_vec[:, None, :], (E, K, 3)
+        ).reshape(-1, 3)
+        pos_kj = slot_gather(edge_vec, trip).reshape(-1, 3)
         pos_ki = pos_kj + pos_ji
         a = jnp.sum(pos_ji * pos_ki, axis=-1)
         cr = jnp.cross(pos_ji, pos_ki)
@@ -223,9 +302,19 @@ class DIMEStack(HydraBase):
 
         d = edge_dist[:, 0]
         ctx["rbf"] = self.rbf_layer(d)
-        ctx["sbf"] = spherical_basis(
-            d, angle, trip.idx_kj, cfg.num_spherical, cfg.num_radial,
-            cfg.radius, cfg.envelope_exponent,
+        # sbf = radial(edge)[triplet's k->j edge] * angular(triplet): the
+        # radial factor also rides the slot tables instead of a [T]-row
+        # gather (ops/spherical.spherical_basis docstring)
+        rad = spherical_radial(
+            d, cfg.num_spherical, cfg.num_radial, cfg.radius,
+            cfg.envelope_exponent,
+        ).reshape(E, -1)  # [E, S*R]
+        rad_trip = slot_gather(rad, trip).reshape(
+            E * K, cfg.num_spherical, cfg.num_radial
+        )
+        cbf = angular_basis(angle, cfg.num_spherical)  # [T, S]
+        ctx["sbf"] = (rad_trip * cbf[:, :, None]).reshape(
+            E * K, cfg.num_spherical * cfg.num_radial
         )
         ctx["triplets"] = trip
         return inv, equiv, ctx

@@ -23,10 +23,7 @@ from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
 from hydragnn_tpu.ops.radial import cosine_cutoff, sinc_expansion
 from hydragnn_tpu.ops.segment import (
     degree,
-    segment_max,
-    segment_mean,
-    segment_min,
-    segment_std,
+    pna_aggregate,
     segment_sum,
     segment_sum_via_perm,
 )
@@ -71,14 +68,16 @@ class PNAEqMessage(nn.Module):
         msg_s = msg_s * em[:, None].astype(msg_s.dtype)
         msg_v = msg_v * em[:, None, None].astype(msg_v.dtype)
 
-        # degree-scaled aggregation into SOURCE nodes
-        aggs = [
-            segment_mean(msg_s, src, N, mask=em, indices_are_sorted=False),
-            segment_min(msg_s, src, N, mask=em, indices_are_sorted=False),
-            segment_max(msg_s, src, N, mask=em, indices_are_sorted=False),
-            segment_std(msg_s, src, N, mask=em, indices_are_sorted=False),
-        ]
-        out = jnp.concatenate(aggs, axis=-1)
+        # degree-scaled aggregation into SOURCE nodes: all four aggregators
+        # in ONE fused pass (ops/pallas_multiagg.py) after one sender-sort
+        # permutation (edges are receiver-sorted; the permute's backward is
+        # a gather by the precomputed inverse)
+        mean_a, min_a, max_a, std_a = pna_aggregate(
+            msg_s, src, N, mask=em, indices_are_sorted=False,
+            perm=batch.edge_perm_by_sender,
+            inv_perm=batch.edge_perm_by_sender_inv,
+        )
+        out = jnp.concatenate([mean_a, min_a, max_a, std_a], axis=-1)
         avg_lin, avg_log = deg_stats(self.deg_hist)
         d = jnp.maximum(degree(src, N, mask=em, indices_are_sorted=False), 1.0)[
             :, None

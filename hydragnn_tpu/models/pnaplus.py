@@ -21,13 +21,7 @@ from hydragnn_tpu.models.layers import split_init
 from hydragnn_tpu.models.pna import deg_stats
 from hydragnn_tpu.ops.geometry import get_edge_vectors_and_lengths
 from hydragnn_tpu.ops.radial import envelope
-from hydragnn_tpu.ops.segment import (
-    degree,
-    segment_max,
-    segment_mean,
-    segment_min,
-    segment_std,
-)
+from hydragnn_tpu.ops.segment import degree, pna_aggregate
 
 
 class BesselBasisLayer(nn.Module):
@@ -97,13 +91,13 @@ class PNAPlusConv(nn.Module):
         m = batch.edge_mask
         r = batch.receivers
         srt = batch.edges_receiver_sorted
-        aggs = [
-            segment_mean(h, r, N, mask=m, indices_are_sorted=srt),
-            segment_min(h, r, N, mask=m, indices_are_sorted=srt),
-            segment_max(h, r, N, mask=m, indices_are_sorted=srt),
-            segment_std(h, r, N, mask=m, indices_are_sorted=srt),
-        ]
-        out = jnp.concatenate(aggs, axis=-1)
+        # all four aggregators in ONE fused pass over the [E, F] messages
+        # (ops/pallas_multiagg.py; unfused segment ops off-TPU)
+        mean_a, min_a, max_a, std_a = pna_aggregate(
+            h, r, N, mask=m, indices_are_sorted=srt,
+            perm=batch.edge_perm_by_receiver,
+        )
+        out = jnp.concatenate([mean_a, min_a, max_a, std_a], axis=-1)
         avg_lin, avg_log = deg_stats(self.deg_hist)
         d = jnp.maximum(degree(r, N, mask=m, indices_are_sorted=srt), 1.0)[:, None]
         logd = jnp.log(d + 1.0)

@@ -121,6 +121,81 @@ def segment_std(
     return jnp.sqrt(var + eps)
 
 
+def pna_aggregate(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = True,
+    perm: Optional[jnp.ndarray] = None,
+    inv_perm: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+):
+    """(mean, min, max, std) per segment — the PNA DegreeScalerAggregation
+    hot path (ref: PNAPlusStack.py:144-304, PNAEqStack.py:103).
+
+    On TPU with 2-D float data this fuses all four aggregators into ONE
+    pass over the messages (ops/pallas_multiagg.py) instead of five XLA
+    scatter passes; elsewhere it falls back to the unfused segment ops.
+    Unsorted ids (PNAEq aggregates by SENDER of a receiver-sorted edge
+    list) are routed through one [E, F] permutation (``perm`` /
+    ``inv_perm`` = GraphBatch.edge_perm_by_sender[_inv]) so the sorted
+    kernel applies; its backward is a gather by the inverse permutation.
+    """
+    import os
+
+    eligible = (
+        os.environ.get("HYDRAGNN_TPU_MULTIAGG", "1") != "0"
+        and data.ndim == 2
+        and data.dtype in (jnp.float32, jnp.bfloat16)
+        and data.shape[0] >= 4096
+        and jax.default_backend() not in ("cpu", "gpu")
+        and (indices_are_sorted or perm is not None)
+    )
+    if not eligible:
+        return (
+            segment_mean(data, segment_ids, num_segments, mask,
+                         indices_are_sorted),
+            segment_min(data, segment_ids, num_segments, mask,
+                        indices_are_sorted),
+            segment_max(data, segment_ids, num_segments, mask,
+                        indices_are_sorted),
+            segment_std(data, segment_ids, num_segments, mask,
+                        indices_are_sorted, eps=eps),
+        )
+    from hydragnn_tpu.ops.pallas_multiagg import segment_multiagg
+
+    if not indices_are_sorted:
+        data = (
+            permute_rows(data, perm, inv_perm) if inv_perm is not None
+            else data[perm]
+        )
+        segment_ids = segment_ids[perm]
+        if mask is not None:
+            mask = mask[perm]
+    ids_eff = segment_ids.astype(jnp.int32)
+    if mask is not None:
+        ids_eff = jnp.where(mask, ids_eff, jnp.int32(2**31 - 2))
+        # zero masked rows: they ride through the kernel's matmuls with a
+        # 0 one-hot and must stay finite
+        data = data * mask.astype(data.dtype)[:, None]
+    cnt = degree(segment_ids, num_segments, mask, indices_are_sorted=True)
+    max_run = jnp.max(cnt).astype(jnp.int32)
+    F = data.shape[1]
+    F_pad = ((F + 127) // 128) * 128
+    if F_pad != F:
+        data = jnp.pad(data, ((0, 0), (0, F_pad - F)))
+    s, ss, mx, mn = segment_multiagg(data, ids_eff, num_segments, max_run)
+    if F_pad != F:
+        s, ss, mx, mn = (a[:, :F] for a in (s, ss, mx, mn))
+    d = jnp.maximum(cnt, 1.0)[:, None].astype(s.dtype)
+    mean = s / d
+    mean2 = ss / d
+    var = jax.nn.relu(mean2 - mean * mean)
+    std = jnp.sqrt(var + eps)
+    return mean, mn, mx, std
+
+
 def segment_softmax(
     logits: jnp.ndarray,
     segment_ids: jnp.ndarray,
@@ -336,7 +411,7 @@ def gather_scatter_sum(
             from functools import partial
 
             from jax.sharding import PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
 
             from hydragnn_tpu.parallel.halo import halo_exchange_spmm
 
@@ -351,7 +426,7 @@ def gather_scatter_sum(
                 mesh=mesh,
                 in_specs=(P(axis),) * 5,
                 out_specs=P(axis),
-                check_rep=False,
+                check_vma=False,
             )
             return fn(node_feat, gp[0], gp[1], receivers, w)
     if adjacency is not None and edge_weight is None and node_feat.ndim == 2:

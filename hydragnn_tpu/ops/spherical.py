@@ -95,20 +95,18 @@ def _legendre_p_l0(l_max: int, cos_t: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=-1)
 
 
-def spherical_basis(
+def spherical_radial(
     dist: jnp.ndarray,  # [E] edge lengths
-    angle: jnp.ndarray,  # [T] triplet angles
-    idx_kj: jnp.ndarray,  # [T] edge index per triplet
     num_spherical: int,
     num_radial: int,
     cutoff: float,
     envelope_exponent: int = 5,
 ) -> jnp.ndarray:
-    """Returns sbf [T, num_spherical * num_radial]."""
+    """Per-EDGE radial factor of the 2-D basis: normalized, enveloped
+    j_l(z_ln d/c). Returns [E, S, R]."""
     from hydragnn_tpu.ops.radial import envelope
 
     zeros = spherical_bessel_zeros(num_spherical, num_radial)  # [S, R] np
-    # radial part per edge: j_l(z_ln * d / c), normalized
     d = dist / cutoff  # [E]
     x = d[:, None, None] * jnp.asarray(zeros)[None, :, :]  # [E, S, R]
     jl_all = _spherical_jn_jnp(num_spherical - 1, x)  # [E, S, R, S]
@@ -125,13 +123,34 @@ def spherical_basis(
         )
     )  # [S, R]
     rbf = jl * jnp.asarray(norm)[None]  # [E, S, R]
-    rbf = rbf * envelope(d, envelope_exponent)[:, None, None]
+    return rbf * envelope(d, envelope_exponent)[:, None, None]
 
-    # angular part per triplet: Y_l0(angle) ~ sqrt((2l+1)/(4 pi)) P_l(cos)
+
+def angular_basis(angle: jnp.ndarray, num_spherical: int) -> jnp.ndarray:
+    """Per-TRIPLET angular factor Y_l0(angle). Returns [T, S]."""
     pl_ = _legendre_p_l0(num_spherical - 1, jnp.cos(angle))  # [T, S]
     y_norm = np.sqrt((2 * np.arange(num_spherical) + 1) / (4 * np.pi))
-    cbf = pl_ * jnp.asarray(y_norm)[None]  # [T, S]
+    return pl_ * jnp.asarray(y_norm)[None]
 
+
+def spherical_basis(
+    dist: jnp.ndarray,  # [E] edge lengths
+    angle: jnp.ndarray,  # [T] triplet angles
+    idx_kj: jnp.ndarray,  # [T] edge index per triplet
+    num_spherical: int,
+    num_radial: int,
+    cutoff: float,
+    envelope_exponent: int = 5,
+) -> jnp.ndarray:
+    """Returns sbf [T, num_spherical * num_radial].
+
+    Composed reference form (T-scale ``rbf[idx_kj]`` gather). The DimeNet
+    stack instead gathers the radial part through the E-scale slot tables
+    (models/dimenet.py slot_gather) — same values, 16x fewer gather rows."""
+    rbf = spherical_radial(
+        dist, num_spherical, num_radial, cutoff, envelope_exponent
+    )
+    cbf = angular_basis(angle, num_spherical)
     out = rbf[idx_kj] * cbf[:, :, None]  # [T, S, R]
     return out.reshape(out.shape[0], num_spherical * num_radial)
 
