@@ -41,7 +41,14 @@ def merge_config(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, An
 
 
 def save_config(config: Dict[str, Any], log_name: str, path: str = "./logs/") -> None:
-    """Rank-0 config snapshot (ref: config_utils.py:352-358)."""
+    """Rank-0 config snapshot (ref: config_utils.py:352-358). Gated on
+    process 0: in a real multi-process run every rank shares the log dir
+    and concurrent writes to one config.json would race (caught by
+    tests/test_multiprocess_real.py)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     fname = os.path.join(path, log_name, "config.json")
     os.makedirs(os.path.dirname(fname), exist_ok=True)
     with open(fname, "w") as f:
