@@ -513,7 +513,31 @@ class MACEStack(HydraBase):
         self.graph_convs = convs
         self.multihead_decoders = decoders
 
-    def __call__(self, batch: GraphBatch, train: bool = False):
+    def mace_prologue(self, batch: GraphBatch):
+        """Pipeline prologue: embedding + decoder_0 + conv layer 0 + its
+        decoder. Returns (inv, equiv, ctx, outputs) — the activation pytree
+        the staged middle layers (1..L-2) carry, each adding its own
+        decoder contribution (parallel/pipeline_model.make_pipelined_mace_loss)."""
+        ctx, node_onehot, h = self._mace_context(batch)
+        outputs = self.multihead_decoders[0](node_onehot, batch)
+        inv, equiv = h, jnp.zeros((h.shape[0], 0), h.dtype)
+        inv, equiv = self.graph_convs[0](inv, equiv, batch, ctx)
+        out = self.multihead_decoders[1](
+            jnp.concatenate([inv, equiv], axis=-1), batch
+        )
+        outputs = tuple(o + p for o, p in zip(outputs, out))
+        return inv, equiv, ctx, outputs
+
+    def mace_epilogue(self, inv, equiv, outputs, batch: GraphBatch, ctx):
+        """Pipeline epilogue: the LAST conv layer (hidden -> scalars — not
+        shape-homogeneous with the staged middle) + its decoder."""
+        inv, equiv = self.graph_convs[-1](inv, equiv, batch, ctx)
+        out = self.multihead_decoders[-1](
+            jnp.concatenate([inv, equiv], axis=-1), batch
+        )
+        return [o + p for o, p in zip(outputs, out)]
+
+    def _mace_context(self, batch: GraphBatch):
         cfg = self.cfg
         # center positions per graph (ref: MACEStack._embedding:413-418)
         mean_pos = segment_mean(
@@ -547,7 +571,6 @@ class MACEStack(HydraBase):
         p = cfg.envelope_exponent or 5
         edge_feats = rbf * polynomial_cutoff(d, cfg.radius, p)[:, None]
 
-        outputs = self.multihead_decoders[0](node_onehot, batch)
         h = self.node_embedding(node_onehot)
         # GPS path: blend positional encodings into the scalar features
         # (ref: MACEStack._embedding:449-470)
@@ -559,6 +582,12 @@ class MACEStack(HydraBase):
             "edge_feats": edge_feats,
             "node_onehot": node_onehot,
         }
+        return ctx, node_onehot, h
+
+    def __call__(self, batch: GraphBatch, train: bool = False):
+        cfg = self.cfg
+        ctx, node_onehot, h = self._mace_context(batch)
+        outputs = self.multihead_decoders[0](node_onehot, batch)
         inv, equiv = h, jnp.zeros((h.shape[0], 0), h.dtype)
         for i, (conv, dec) in enumerate(
             zip(self.graph_convs, self.multihead_decoders[1:])

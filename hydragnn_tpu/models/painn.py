@@ -104,18 +104,25 @@ class PainnMessage(nn.Module):
         filter_out = fw * batch.gather_dst(h)
         gate_v, gate_e, msg_s = jnp.split(filter_out, 3, axis=1)
 
-        msg_v = batch.gather_dst(v_feat) * gate_v[:, None, :]
+        N = s_feat.shape[0]
+        ns = self.node_size
+        # gather/aggregate the vector channel FLATTENED [*, 3F]: 3-D
+        # arrays miss every optimized 2-D path (Pallas segment kernels,
+        # sorted-backward gathers) and lower to raw XLA scatter-adds
+        v_dst = batch.gather_dst(v_feat.reshape(N, -1)).reshape(-1, 3, ns)
+        msg_v = v_dst * gate_v[:, None, :]
         edge_vector = gate_e[:, None, :] * (diff / dist)[:, :, None]
         msg_v = msg_v + edge_vector
 
         em = batch.edge_mask
         msg_s = msg_s * em[:, None].astype(msg_s.dtype)
         msg_v = msg_v * em[:, None, None].astype(msg_v.dtype)
-        N = s_feat.shape[0]
         perm = batch.edge_perm_by_sender
         inv = batch.edge_perm_by_sender_inv
         res_s = segment_sum_via_perm(msg_s, dst_scatter, N, perm, inv)
-        res_v = segment_sum_via_perm(msg_v, dst_scatter, N, perm, inv)
+        res_v = segment_sum_via_perm(
+            msg_v.reshape(msg_v.shape[0], -1), dst_scatter, N, perm, inv
+        ).reshape(N, 3, ns)
         return s_feat + res_s, v_feat + res_v
 
 

@@ -62,7 +62,12 @@ class PNAEqMessage(nn.Module):
 
         gate_v, gate_e, msg_s = jnp.split(h, 3, axis=-1)
 
-        msg_v = batch.gather_dst(v) * gate_v[:, None, :] + gate_e[:, None, :] * edge_vec[:, :, None]
+        # gather/aggregate the vector channel FLATTENED [*, 3F]: 3-D
+        # arrays fall off every optimized 2-D path (Pallas segment
+        # kernels, sorted-backward gathers) onto raw XLA scatter-adds —
+        # ~11 ms each at the GFM shape (round-5 trace)
+        v_dst = batch.gather_dst(v.reshape(N, -1)).reshape(-1, 3, F_in)
+        msg_v = v_dst * gate_v[:, None, :] + gate_e[:, None, :] * edge_vec[:, :, None]
 
         em = batch.edge_mask
         msg_s = msg_s * em[:, None].astype(msg_s.dtype)
@@ -92,9 +97,9 @@ class PNAEqMessage(nn.Module):
         delta_x = nn.Dense(F_in, name="post_nn")(out)
 
         delta_v = segment_sum_via_perm(
-            msg_v, src, N, batch.edge_perm_by_sender,
-            batch.edge_perm_by_sender_inv,
-        )
+            msg_v.reshape(msg_v.shape[0], -1), src, N,
+            batch.edge_perm_by_sender, batch.edge_perm_by_sender_inv,
+        ).reshape(N, 3, F_in)
         return x + delta_x, v + delta_v
 
 

@@ -63,14 +63,18 @@ def make_pipelined_apply(
 
     ``layer_fn(layer_params, x, batch) -> x`` applies ONE conv layer.
     ``stacked_params``: tree with leading [S, k] dims (S sharded on
-    ``axis``). ``micro_x``: [M, N, F] microbatch activations (replicated).
-    ``micro_batches``: any pytree with leading M on every leaf
-    (replicated graph structure). Output: [M, N, F], replicated.
+    ``axis``). ``micro_x``: activation PYTREE with leading M on every leaf
+    (a plain [M, N, F] array included) — e.g. MACE carries
+    {inv, equiv, outs: (...head accumulators...)} so each staged layer's
+    decoder contribution rides the pipeline. ``micro_batches``: any pytree
+    with leading M on every leaf (replicated graph structure). Output:
+    same pytree structure as ``micro_x``, replicated.
     """
     S, M = n_stages, n_micro
+    tmap = jax.tree_util.tree_map
 
     def per_stage(params_stage, micro_x, micro_batches):
-        params_stage = jax.tree_util.tree_map(
+        params_stage = tmap(
             lambda a: a[0], params_stage
         )  # [1, k, ...] block -> [k, ...]
         sid = jax.lax.axis_index(axis)
@@ -78,11 +82,13 @@ def make_pipelined_apply(
         def tick(carry, t):
             buf, outs = carry
             mb = jnp.clip(t - sid, 0, M - 1)
-            batch_t = jax.tree_util.tree_map(
+            batch_t = tmap(
                 lambda a: a[mb] if hasattr(a, "ndim") and a.ndim else a,
                 micro_batches,
             )
-            x_in = jnp.where(sid == 0, micro_x[mb], buf)
+            x_in = tmap(
+                lambda mx, b: jnp.where(sid == 0, mx[mb], b), micro_x, buf
+            )
 
             def body(h, p):
                 return layer_fn(p, h, batch_t), None
@@ -90,22 +96,32 @@ def make_pipelined_apply(
             y, _ = jax.lax.scan(body, x_in, params_stage)
             idx = jnp.clip(t - (S - 1), 0, M - 1)
             take = jnp.logical_and(sid == S - 1, t >= S - 1)
-            outs = outs.at[idx].set(jnp.where(take, y, outs[idx]))
-            buf = jax.lax.ppermute(
-                y, axis, [(i, (i + 1) % S) for i in range(S)]
+            outs = tmap(
+                lambda o, yy: o.at[idx].set(jnp.where(take, yy, o[idx])),
+                outs, y,
+            )
+            buf = tmap(
+                lambda yy: jax.lax.ppermute(
+                    yy, axis, [(i, (i + 1) % S) for i in range(S)]
+                ),
+                y,
             )
             return (buf, outs), None
 
         init = (
-            jnp.zeros_like(micro_x[0]),
-            jnp.zeros_like(micro_x),
+            tmap(lambda a: jnp.zeros_like(a[0]), micro_x),
+            tmap(jnp.zeros_like, micro_x),
         )
         (buf, outs), _ = jax.lax.scan(
             tick, init, jnp.arange(M + S - 1)
         )
         # result lives on the last stage; psum replicates it to every stage
         return jax.lax.psum(
-            jnp.where(sid == S - 1, outs, jnp.zeros_like(outs)), axis
+            tmap(
+                lambda o: jnp.where(sid == S - 1, o, jnp.zeros_like(o)),
+                outs,
+            ),
+            axis,
         )
 
     return shard_map(

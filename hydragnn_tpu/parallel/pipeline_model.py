@@ -172,8 +172,11 @@ def make_pipelined_hydra_loss(
     (trainer.stack_batches of M microbatches) and the loss is the mean of
     the trainer's per-microbatch losses (models/losses.compute_loss)."""
     if cfg.mpnn_type == "MACE":
-        raise NotImplementedError(
-            "MACE's per-layer decoders need every stage's output"
+        # per-layer decoder outputs ride the pipeline as pytree
+        # activations — dedicated builder (plain MACE; the GPS-wrapped
+        # variant remains out of scope)
+        return make_pipelined_mace_loss(
+            model, cfg, mesh, n_stages, n_micro, axis=axis
         )
 
     # build a standalone conv module with the stack's own get_conv; a
@@ -278,6 +281,149 @@ def make_pipelined_hydra_loss(
                 method="decode",
             )
             loss, _ = compute_loss(cfg, pred, mb)
+            losses.append(loss)
+        return jnp.mean(jnp.stack(losses))
+
+    return loss_fn
+
+
+def split_mace_state(params: Dict[str, Any], n_stages: int):
+    """MACE staging split: conv layers 1..L-2 (hidden -> hidden, shape-
+    homogeneous) are stacked [S, k] TOGETHER with their per-layer decoders
+    (decoder_{i+1}); layer 0 (scalar input), layer L-1 (scalar output,
+    different shapes), decoder_0/1/L, and the embedding stay outer.
+    Requires L - 2 divisible by n_stages."""
+    params = dict(params)
+    names = _conv_layer_names(params, "conv_")
+    L = len(names)
+    assert L >= 3, "MACE pipeline staging needs >= 3 conv layers"
+    pipe_idx = list(range(1, L - 1))
+    assert len(pipe_idx) % n_stages == 0, (
+        f"{len(pipe_idx)} staged MACE layers not divisible by "
+        f"{n_stages} stages"
+    )
+    layers = []
+    for i in pipe_idx:
+        layer = {
+            "conv": params.pop(f"conv_{i}"),
+            "dec": params.pop(f"decoder_{i + 1}"),
+        }
+        layers.append(layer)
+    return params, stack_layer_params(layers, n_stages)
+
+
+def merge_mace_state(outer: Dict[str, Any], stacked) -> Dict[str, Any]:
+    """Inverse of split_mace_state."""
+    full = dict(outer)
+    leaves = jax.tree_util.tree_leaves(stacked)
+    S, k = leaves[0].shape[:2]
+    for s in range(S):
+        for j in range(k):
+            layer = jax.tree_util.tree_map(lambda a: a[s, j], stacked)
+            i = 1 + s * k + j
+            full[f"conv_{i}"] = layer["conv"]
+            full[f"decoder_{i + 1}"] = layer["dec"]
+    return full
+
+
+def make_pipelined_mace_loss(
+    model: HydraBase,
+    cfg: ArchConfig,
+    mesh: Mesh,
+    n_stages: int,
+    n_micro: int,
+    axis: str = "pipe",
+) -> Callable:
+    """MACE through the model pipeline. Unlike the homogeneous stacks, MACE
+    sums a PER-LAYER decoder output into the heads (models/mace.py
+    __call__; ref: MACEStack.forward accumulates multihead_decoders), so
+    the pipeline activation is the pytree {inv, equiv, outs: (heads...)} —
+    each staged layer applies its conv AND its decoder and adds into the
+    accumulators riding the ICI ring. Prologue (embedding + layer 0 +
+    decoder_0/1) and epilogue (layer L-1, scalar output irreps + nonlinear
+    decoder_L) run replicated (models/mace.py mace_prologue/mace_epilogue)."""
+    from hydragnn_tpu.models.mace import (
+        Irreps,
+        MaceConv,
+        MultiheadDecoderBlock,
+    )
+
+    hidden_irreps = Irreps.uniform(cfg.hidden_dim, cfg.node_max_ell)
+    interaction_irreps = Irreps(
+        tuple((cfg.hidden_dim, l) for l in range(cfg.max_ell + 1))
+    )
+    sh_irreps = Irreps.spherical(cfg.max_ell)
+    edge_attrs_irreps = (
+        Irreps.scalars(cfg.edge_dim) + sh_irreps
+        if (cfg.edge_dim or 0) > 0
+        else sh_irreps
+    )
+    correlations = (list(cfg.correlation) if cfg.correlation else [2]) * (
+        cfg.num_conv_layers
+    )
+    conv_template = MaceConv(
+        node_feats_irreps=hidden_irreps,
+        edge_attrs_irreps=edge_attrs_irreps,
+        num_edge_feats=cfg.num_radial,
+        interaction_irreps=interaction_irreps,
+        hidden_irreps=hidden_irreps,
+        output_irreps=hidden_irreps,
+        avg_num_neighbors=float(cfg.avg_num_neighbors or 1.0),
+        correlation=int(correlations[1]),
+    )
+    dec_template = MultiheadDecoderBlock(hidden_irreps, cfg, nonlinear=False)
+    n_sc = cfg.hidden_dim
+
+    def layer_fn(p, act, bundle):
+        mb, ctx = bundle
+        nf = jnp.concatenate([act["inv"], act["equiv"]], axis=-1)
+        h = conv_template.apply(
+            {"params": p["conv"]}, nf, mb, ctx["edge_attrs"],
+            ctx["edge_feats"], ctx["node_onehot"],
+        )
+        out = dec_template.apply({"params": p["dec"]}, h, mb)
+        return {
+            "inv": h[:, :n_sc],
+            "equiv": h[:, n_sc:],
+            "outs": tuple(o + d for o, d in zip(act["outs"], out)),
+        }
+
+    pipe = make_pipelined_apply(layer_fn, mesh, n_stages, n_micro, axis=axis)
+
+    def loss_fn(outer, stacked, micro_batches, outer_stats=None):
+        M = n_micro
+        variables = {"params": outer}
+        acts, ctxs, mbs = [], [], []
+        for m in range(M):
+            mb = jax.tree_util.tree_map(
+                lambda a: a[m] if hasattr(a, "ndim") and a.ndim else a,
+                micro_batches,
+            )
+            inv, equiv, ctx, outs = model.apply(
+                variables, mb, method="mace_prologue"
+            )
+            acts.append({"inv": inv, "equiv": equiv, "outs": outs})
+            ctxs.append(ctx)
+            mbs.append(mb)
+        micro_act = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *acts
+        )
+        bundle = jax.tree_util.tree_map(
+            lambda *ls: (
+                jnp.stack(ls) if hasattr(ls[0], "ndim") else ls[0]
+            ),
+            *[(mb, ctx) for mb, ctx in zip(mbs, ctxs)],
+        )
+        final = pipe(stacked, micro_act, bundle)
+        losses = []
+        for m in range(M):
+            act_m = jax.tree_util.tree_map(lambda a: a[m], final)
+            pred = model.apply(
+                variables, act_m["inv"], act_m["equiv"],
+                list(act_m["outs"]), mbs[m], ctxs[m],
+                method="mace_epilogue",
+            )
+            loss, _ = compute_loss(cfg, pred, mbs[m])
             losses.append(loss)
         return jnp.mean(jnp.stack(losses))
 

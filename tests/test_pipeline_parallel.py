@@ -453,3 +453,98 @@ def test_pipelined_gps_matches_sequential():
                         np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
                         err_msg=f"{ref_key}{jax.tree_util.keystr(pa)}",
                     )
+
+
+def test_pipelined_mace_matches_sequential():
+    """MACE through the pipeline (r4 VERDICT missing #4): per-layer decoder
+    outputs ride the pipeline as pytree activations, each staged layer
+    adding its decoder contribution. Middle layers 1..L-2 are staged
+    (hidden -> hidden homogeneous); layer 0, layer L-1 (scalar output
+    irreps) and decoder_0/1/L run replicated. Loss + all gradients must
+    equal the single-device definition."""
+    import jax
+    import numpy as np
+
+    from hydragnn_tpu.graph import GraphSample, collate
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.pipeline import setup_pipe_mesh
+    from hydragnn_tpu.parallel.pipeline_model import (
+        make_pipelined_hydra_loss,
+        merge_mace_state,
+        sequential_microbatch_loss,
+        split_mace_state,
+    )
+    from hydragnn_tpu.train.trainer import stack_batches
+    from tests.test_models_forward import make_cfg, _extra
+
+    S, M = 2, 3
+    # 4 conv layers: 0 and 3 replicated, 1..2 staged (1 per stage)
+    cfg = make_cfg("MACE", num_conv_layers=4, hidden_dim=8,
+                   **_extra("MACE"))
+    model = create_model(cfg)
+
+    rng = np.random.RandomState(3)
+    batches = []
+    for m in range(M):
+        samples = []
+        for _ in range(2):
+            n = rng.randint(5, 9)
+            e = n * 3
+            samples.append(GraphSample(
+                x=(rng.randint(1, 8, (n, 1))).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=np.stack([
+                    rng.randint(0, n, e), rng.randint(0, n, e)
+                ]).astype(np.int64),
+                y_graph=rng.randn(1).astype(np.float32),
+            ))
+        batches.append(collate(samples, n_node_pad=24, n_edge_pad=64))
+    micro = stack_batches(batches)
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(
+            lambda a: a[0] if hasattr(a, "ndim") and a.ndim else a, micro
+        ),
+        train=False,
+    )["params"]
+    outer, stacked = split_mace_state(params, S)
+    merged = merge_mace_state(outer, stacked)
+    for k in params:
+        np.testing.assert_array_equal(
+            jax.tree_util.tree_leaves(merged[k])[0],
+            jax.tree_util.tree_leaves(params[k])[0],
+        )
+
+    mesh = setup_pipe_mesh(S, jax.devices()[:S])
+    pipe_loss = make_pipelined_hydra_loss(model, cfg, mesh, S, M)
+    l_pipe, (g_outer, g_stacked) = jax.value_and_grad(
+        pipe_loss, argnums=(0, 1)
+    )(outer, stacked, micro)
+
+    def seq_loss(p):
+        return sequential_microbatch_loss(model, cfg, p, micro, M)
+
+    l_seq, g_seq = jax.value_and_grad(seq_loss)(params)
+    np.testing.assert_allclose(float(l_pipe), float(l_seq), rtol=1e-5)
+    for k, g in g_outer.items():
+        for (pa, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g),
+            jax.tree_util.tree_leaves(g_seq[k]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+                err_msg=f"{k}{jax.tree_util.keystr(pa)}",
+            )
+    for s in range(S):
+        layer_g = jax.tree_util.tree_map(lambda a: a[s, 0], g_stacked)
+        for part, name in (("conv", f"conv_{1 + s}"),
+                           ("dec", f"decoder_{2 + s}")):
+            for (pa, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(layer_g[part]),
+                jax.tree_util.tree_leaves(g_seq[name]),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+                    err_msg=f"{name}{jax.tree_util.keystr(pa)}",
+                )
