@@ -130,7 +130,7 @@ class BandDir:
     usually-empty inner loop in the kernel."""
 
     a: jnp.ndarray  # [NB, B or B//8, W] int8
-    col0: jnp.ndarray  # [NB] int32, 128-aligned first sender column
+    col0: jnp.ndarray  # [NB] int32, aligned first sender column
     oa: jnp.ndarray  # [To, B or B//8, OUT_W] int8 outlier tiles
     ostart: jnp.ndarray  # [To] int32, 128-aligned outlier window starts
     orow_ptr: jnp.ndarray  # [NB+1] int32 outlier tile offsets per block
@@ -138,6 +138,14 @@ class BandDir:
     block: int = struct.field(pytree_node=False)
     width: int = struct.field(pytree_node=False)  # W (multiple of 128)
     packed: bool = struct.field(pytree_node=False)
+    # x-chunk ring (round-4 lever: the whole-window x DMA re-reads ~W/512
+    # per block; with col0 512-aligned and W a 512-multiple, x moves in
+    # XCHUNK-row pieces cached in a VMEM ring across blocks — each chunk
+    # DMA'd ~once per layer). xflags [NB * (W // XCHUNK)] int32: 0 chunk
+    # resident, 1 prefetchable during the previous block, 2 synchronous
+    # (its prefetch would clobber a slot the previous block still reads).
+    xflags: Optional[jnp.ndarray] = None
+    chunked: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -244,27 +252,31 @@ def _build_one_direction(
 BAND_W_CAP = 8192  # widest per-block column window (VMEM: 2 x W x ft x 4
 # double-buffered fp32 x windows = 8 MB at the cap with ft=128; band_matmul
 # bounds W*ft <= BAND_W_CAP*128 by shrinking the feature tile)
-BAND_ALIGN = 128  # col0 alignment (lane-width DMA offsets)
+BAND_ALIGN = 128  # outlier-window alignment (lane-width DMA offsets)
+XCHUNK = 256  # band col0/width alignment = x-ring chunk rows
 
 
 OUT_W = 256  # outlier tile lane width (one 128-col bucket + clamp slack)
 
 
-def _choose_window(rows, cols, num_nodes, block):
-    """Uniform window width W + per-block 128-aligned starts minimizing
+def _choose_window(rows, cols, num_nodes, block, align=None):
+    """Uniform window width W + per-block aligned starts minimizing
     total dense elements (band tiles + OUT_W-wide outlier tiles).
 
     For each candidate W (span quantiles), every block picks the aligned
     start covering the most of its edges (two-pointer over its sorted
     sender columns); edges left outside are costed as outlier chunks.
-    Returns (width, col0[nb], in_window_mask, cost_elems) or None."""
+    ``align`` (default XCHUNK) aligns starts AND widths so the kernel's
+    x-chunk ring applies. Returns (width, col0[nb], in_window_mask,
+    cost_elems) or None."""
+    align = align or XCHUNK
     nb = _round_up(num_nodes, block) // block
-    n_cap = _round_up(num_nodes, BAND_ALIGN)
+    n_cap = _round_up(num_nodes, align)
     rb = rows // block
     order = np.lexsort((cols, rb))
     rs, cs = rb[order], cols[order]
     bounds = np.searchsorted(rs, np.arange(nb + 1))
-    a0 = (cs // BAND_ALIGN) * BAND_ALIGN  # aligned start candidates
+    a0 = (cs // align) * align  # aligned start candidates
     spans = [
         cs[hi - 1] - a0[lo] + 1
         for lo, hi in zip(bounds[:-1], bounds[1:])
@@ -277,9 +289,9 @@ def _choose_window(rows, cols, num_nodes, block):
         np.percentile(spans, [50, 75, 90, 95, 99], method="lower"),
         [spans.max()],
     ]))
+    w_cap = min(BAND_W_CAP, _round_up(n_cap, align))
     cands = np.unique(
-        np.minimum((cands + BAND_ALIGN - 1) // BAND_ALIGN * BAND_ALIGN,
-                   min(BAND_W_CAP, n_cap))
+        np.minimum((cands + align - 1) // align * align, w_cap)
     )
     best = None
     for w in cands:
@@ -332,7 +344,7 @@ def _pack_tiles(ti, rr, cc, cnt, n_tiles, block, width, pack, mx):
 
 
 def _build_band_direction(
-    rows, cols, num_nodes, block, pack=True, chunk=CHUNK
+    rows, cols, num_nodes, block, pack=True, chunk=CHUNK, x_ring=True
 ) -> Optional[BandDir]:
     """One [B, W] tile per row block at a robustly-chosen 128-aligned
     column offset, plus ragged outlier tiles for out-of-window edges.
@@ -341,8 +353,9 @@ def _build_band_direction(
     array, a multiplicity overflows int8, or grid-aligned ragged tiles
     (``_build_one_direction``) would move fewer dense elements."""
     nb = _round_up(num_nodes, block) // block
-    n_cap = _round_up(num_nodes, BAND_ALIGN)
-    sel = _choose_window(rows, cols, num_nodes, block)
+    align = XCHUNK if x_ring else BAND_ALIGN
+    n_cap = _round_up(num_nodes, align)
+    sel = _choose_window(rows, cols, num_nodes, block, align=align)
     if sel is None:
         return None
     width, col0, in_mask, cost = sel
@@ -404,6 +417,42 @@ def _build_band_direction(
         ocnt, to, block, OUT_W, pack, mx,
     )
     assert packed == opacked
+    if not x_ring:
+        return BandDir(
+            a=jnp.asarray(a),
+            col0=jnp.asarray(col0.astype(np.int32)),
+            oa=jnp.asarray(oa),
+            ostart=jnp.asarray(ostart.astype(np.int32)),
+            orow_ptr=jnp.asarray(orow_ptr),
+            num_blocks=nb,
+            block=block,
+            width=width,
+            packed=packed,
+        )
+    # host simulation of the kernel's x-chunk ring (deterministic block
+    # order) -> per-(block, chunk) miss flags; ring size nC + 2 guarantees
+    # a straight one-chunk band advance prefetches collision-free
+    nC = width // XCHUNK
+    ring = nC + 2
+    col0c = (col0 // XCHUNK).astype(np.int64)
+    xflags = np.zeros((nb, nC), np.int32)
+    owner = np.full(ring, -1, np.int64)
+    prev_slots = {}
+    for i in range(nb):
+        cur_slots = {}
+        for k in range(nC):
+            cid = col0c[i] + k
+            sl = int(cid % ring)
+            cur_slots[sl] = cid
+            if owner[sl] != cid:
+                # prefetch during block i-1 unless it would clobber a slot
+                # block i-1 still reads (or there is no previous block)
+                hazard = i == 0 or (
+                    sl in prev_slots and prev_slots[sl] != cid
+                )
+                xflags[i, k] = 2 if hazard else 1
+                owner[sl] = cid
+        prev_slots = cur_slots
     return BandDir(
         a=jnp.asarray(a),
         col0=jnp.asarray(col0.astype(np.int32)),
@@ -414,6 +463,8 @@ def _build_band_direction(
         block=block,
         width=width,
         packed=packed,
+        xflags=jnp.asarray(xflags.reshape(-1)),
+        chunked=True,
     )
 
 
@@ -439,10 +490,20 @@ def build_bcsr(
     if s.size == 0:
         return None
 
+    import os
+
+    # x-chunk ring: measured a WASH on the 131k/1M lattice (round 5 A/B,
+    # fp32x2 1.90 vs 1.92 ms at XCHUNK=256; 2.12 vs 2.01 at 512) — the
+    # saved x re-reads are offset by the chunk-aligned window growth, i.e.
+    # the kernel is not x-bandwidth-bound at these widths. Default stays
+    # the round-4 whole-window band; the ring remains available for wider
+    # bands where the re-read factor is larger.
+    x_ring = os.environ.get("HYDRAGNN_TPU_BCSR_XRING", "0") == "1"
+
     def _dir(rows, cols):
         if band:
             bd = _build_band_direction(
-                rows, cols, num_nodes, block, pack, chunk
+                rows, cols, num_nodes, block, pack, chunk, x_ring=x_ring
             )
             if bd is not None:
                 return bd
@@ -912,15 +973,158 @@ def _band_kernel(
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _band_ring_kernel(
+    col0c_ref,  # scalar prefetch: [NB] first x-chunk id per block
+    xflags_ref,  # scalar prefetch: [NB * nC] ring miss flags (0/1/2)
+    ostart_ref,  # scalar prefetch: [To] outlier window starts
+    orow_ptr_ref,  # scalar prefetch: [NB+1] outlier tile offsets per block
+    a_ref,  # [NB, B or B//8, W] int8 (HBM)
+    oa_ref,  # [To, B or B//8, OUT_W] int8 (HBM)
+    x_ref,  # [N_pad, F] float (HBM)
+    o_ref,  # [B, ft] (VMEM)
+    a_buf,  # [2, B or B//8, W] int8
+    x_ring,  # [R, XCHUNK, ft] — persistent across grid steps
+    oa_buf,  # [2, B or B//8, OUT_W] int8
+    ox_buf,  # [2, OUT_W, ft]
+    a_sems,  # DMA sems [2]
+    x_sems,  # DMA sems [R]
+    osems,  # DMA sems [2, 2]
+    *,
+    x_passes: int,
+    ft: int,
+    packed: bool,
+    nb: int,
+    n_chunks: int,
+    ring: int,
+):
+    """Band kernel with an x-chunk ring: the [B, W] band tile dots against
+    W // XCHUNK ring-resident x chunks instead of a freshly-DMA'd whole
+    window — under a one-chunk-per-block band advance, each x chunk moves
+    from HBM ~once per layer instead of ~W/XCHUNK times (the round-4 fp32
+    re-read factor). Misses are host-precomputed (BandDir.xflags): flag 1
+    prefetches during the previous block, flag 2 DMAs at block entry."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def a_dma(slot, blk):
+        return pltpu.make_async_copy(
+            a_ref.at[blk], a_buf.at[slot], a_sems.at[slot]
+        )
+
+    def x_dma(cid):
+        sl = jax.lax.rem(cid, ring)
+        return pltpu.make_async_copy(
+            x_ref.at[
+                pl.ds(pl.multiple_of(cid * XCHUNK, XCHUNK), XCHUNK),
+                pl.ds(j * ft, ft),
+            ],
+            x_ring.at[sl],
+            x_sems.at[sl],
+        )
+
+    def odmas(slot, t):
+        return (
+            pltpu.make_async_copy(
+                oa_ref.at[t], oa_buf.at[slot], osems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                x_ref.at[
+                    pl.ds(pl.multiple_of(ostart_ref[t], BAND_ALIGN),
+                          ox_buf.shape[1]),
+                    pl.ds(j * ft, ft),
+                ],
+                ox_buf.at[slot],
+                osems.at[slot, 1],
+            ),
+        )
+
+    t0 = orow_ptr_ref[i]
+    t1 = orow_ptr_ref[i + 1]
+
+    @pl.when(i == 0)
+    def _():
+        a_dma(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        a_dma((i + 1) % 2, i + 1).start()
+
+    @pl.when(t0 < t1)
+    def _():
+        for dd in odmas(0, t0):
+            dd.start()
+
+    # synchronous misses (block 0, or collisions with the previous block)
+    for k in range(n_chunks):
+        @pl.when(xflags_ref[i * n_chunks + k] == 2)
+        def _(k=k):
+            x_dma(col0c_ref[i] + k).start()
+
+    for k in range(n_chunks):
+        @pl.when(xflags_ref[i * n_chunks + k] >= 1)
+        def _(k=k):
+            x_dma(col0c_ref[i] + k).wait()
+
+    # prefetch the NEXT block's misses (their slots are provably not read
+    # by this block — host flag discipline)
+    @pl.when(i + 1 < nb)
+    def _():
+        for k in range(n_chunks):
+            @pl.when(xflags_ref[jnp.minimum(i + 1, nb - 1) * n_chunks + k]
+                     == 1)
+            def _(k=k):
+                x_dma(col0c_ref[jnp.minimum(i + 1, nb - 1)] + k).start()
+
+    slot = jax.lax.rem(i, 2)
+    a_dma(slot, i).wait()
+    a = _unpack_a(a_buf[slot], packed)
+
+    acc = None
+    for k in range(n_chunks):
+        sl = jax.lax.rem(col0c_ref[i] + k, ring)
+        ak = a[:, k * XCHUNK : (k + 1) * XCHUNK]
+        for term in _x_terms(x_ring[sl], x_passes):
+            part = jax.lax.dot_general(
+                ak, term,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+
+    def obody(t, acc):
+        sl = jax.lax.rem(t - t0, 2)
+
+        @pl.when(t + 1 < t1)
+        def _():
+            for dd in odmas(1 - sl, t + 1):
+                dd.start()
+
+        for dd in odmas(sl, t):
+            dd.wait()
+        ao = _unpack_a(oa_buf[sl], packed)
+        for term in _x_terms(ox_buf[sl], x_passes):
+            acc = acc + jax.lax.dot_general(
+                ao, term,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(t0, t1, obody, acc)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 def band_matmul(
     d: BandDir,
     x: jnp.ndarray,
     x_passes: int = X_PASSES,
 ) -> jnp.ndarray:
     """out[i*B : +B] = a[i] @ x[col0[i] : col0[i]+W] — the band-aligned
-    one-tile-per-block variant of ``bcsr_matmul``. Returns [NB*B, F]."""
+    one-tile-per-block variant of ``bcsr_matmul``. Chunk-aligned
+    directions (BandDir.chunked) route through the x-ring kernel.
+    Returns [NB*B, F]."""
     n, f = x.shape
-    n_cap = _round_up(n, BAND_ALIGN)
+    n_cap = _round_up(n, XCHUNK if d.chunked else BAND_ALIGN)
     if n_cap != n:
         x = jnp.pad(x, ((0, n_cap - n), (0, 0)))
     assert f % 128 == 0, f
@@ -929,13 +1133,61 @@ def band_matmul(
     while f % ft:
         ft //= 2
     # VMEM bound couples the window width to the feature tile: the
-    # double-buffered x window is 2*W*ft*itemsize bytes, budgeted as 8 MB
-    # fp32 at (W=BAND_W_CAP, ft=128). Wide bands with wide features must
-    # shrink ft jointly or Mosaic overflows VMEM (advisor r4 finding).
+    # double-buffered x window (or (W/XCHUNK + 2)-slot ring) is
+    # ~2*W*ft*itemsize bytes, budgeted as 8 MB fp32 at (W=BAND_W_CAP,
+    # ft=128). Wide bands with wide features must shrink ft jointly or
+    # Mosaic overflows VMEM (advisor r4 finding).
     while ft > 128 and d.width * ft > BAND_W_CAP * 128:
         ft //= 2
     nf = f // ft
     b = d.block
+    if d.chunked:
+        n_chunks = d.width // XCHUNK
+        ring = n_chunks + 2
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nf, d.num_blocks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # band tiles
+                pl.BlockSpec(memory_space=pl.ANY),  # outlier tiles
+                pl.BlockSpec(memory_space=pl.ANY),  # x
+            ],
+            out_specs=pl.BlockSpec(
+                (b, ft), lambda j, i, c0, xf, os, rp: (i, j)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2,) + d.a.shape[1:], d.a.dtype),
+                pltpu.VMEM((ring, XCHUNK, ft), x.dtype),
+                pltpu.VMEM((2,) + d.oa.shape[1:], d.oa.dtype),
+                pltpu.VMEM((2, OUT_W, ft), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((ring,)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _band_ring_kernel, x_passes=x_passes, ft=ft,
+                packed=d.packed, nb=d.num_blocks, n_chunks=n_chunks,
+                ring=ring,
+            ),
+            out_shape=jax.ShapeDtypeStruct((d.num_blocks * b, f), x.dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * (d.num_blocks * d.width + d.oa.shape[0] * OUT_W)
+                * b * f * max(x_passes, 1),
+                bytes_accessed=(int(d.a.size) + int(d.oa.size)) * nf
+                + n_cap * f * x.dtype.itemsize
+                + d.num_blocks * b * f * 4,
+                transcendentals=0,
+            ),
+        )(
+            d.col0 // XCHUNK, d.xflags, d.ostart, d.orow_ptr,
+            d.a, d.oa, x,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nf, d.num_blocks),

@@ -103,9 +103,18 @@ def spherical_radial(
     envelope_exponent: int = 5,
 ) -> jnp.ndarray:
     """Per-EDGE radial factor of the 2-D basis: normalized, enveloped
-    j_l(z_ln d/c). Returns [E, S, R]."""
+    j_l(z_ln d/c). Returns [E, S, R] in the input dtype.
+
+    Evaluated in fp32 regardless of compute dtype: the upward j_l
+    recurrence amplifies rounding by ~prod((2n+1)/x) at small x, which in
+    bf16 is garbage at any realistic edge length. Degenerate lengths
+    (zero-length PADDING edges, whose x clamps to the recurrence's blowup
+    region and reaches ~1e19) are zeroed — the reference has no padding
+    edges at all, so this is semantics-neutral."""
     from hydragnn_tpu.ops.radial import envelope
 
+    out_dtype = dist.dtype
+    dist = dist.astype(jnp.float32)
     zeros = spherical_bessel_zeros(num_spherical, num_radial)  # [S, R] np
     d = dist / cutoff  # [E]
     x = d[:, None, None] * jnp.asarray(zeros)[None, :, :]  # [E, S, R]
@@ -123,7 +132,9 @@ def spherical_radial(
         )
     )  # [S, R]
     rbf = jl * jnp.asarray(norm)[None]  # [E, S, R]
-    return rbf * envelope(d, envelope_exponent)[:, None, None]
+    rbf = rbf * envelope(d, envelope_exponent)[:, None, None]
+    rbf = jnp.where(dist[:, None, None] > 1e-6, rbf, 0.0)
+    return rbf.astype(out_dtype)
 
 
 def angular_basis(angle: jnp.ndarray, num_spherical: int) -> jnp.ndarray:

@@ -156,11 +156,12 @@ def test_band_order_picks_raster_for_torus_and_rcm_for_shuffled():
     from hydragnn_tpu.data.ordering import band_order
 
     # periodic 2D Moore lattice, natural raster order: RCM's BFS level
-    # sets are ~2x the raster band, so identity must win (96x96 is past
-    # the crossover; tiny lattices can legitimately prefer RCM)
+    # sets are ~2x the raster band, so identity must win (160x160 is past
+    # the crossover under 512-aligned ring windows; smaller lattices can
+    # legitimately prefer RCM since the block-row overhead dominates)
     from itertools import product
 
-    dims = (96, 96)
+    dims = (160, 160)
     n = dims[0] * dims[1]
     idx = np.arange(n).reshape(dims)
     shifts = []
@@ -242,3 +243,29 @@ def test_band_multi_feature_tile_path():
     got = np.asarray(bcsr_spmm(jnp.asarray(x), bc))
     want = _xla_ref(x, s, r, mask, n)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_band_xring_variant_matches(monkeypatch):
+    """The opt-in x-chunk ring band (HYDRAGNN_TPU_BCSR_XRING=1 /
+    _build_band_direction(x_ring=True)): chunk-aligned windows, host-
+    simulated ring miss flags, per-chunk dots — must agree exactly with
+    XLA and with the default whole-window band."""
+    from hydragnn_tpu.ops.bcsr import BandDir
+
+    monkeypatch.setenv("HYDRAGNN_TPU_BCSR_XRING", "1")
+    s, r, mask = _banded_graph(seed=13)
+    n, f = 2000, 128
+    bc = build_bcsr(s, r, mask, n)
+    assert isinstance(bc.fwd, BandDir) and bc.fwd.chunked
+    assert bc.fwd.xflags is not None
+    x = np.random.RandomState(14).randn(n, f).astype(np.float32)
+    got = np.asarray(bcsr_spmm(jnp.asarray(x), bc))
+    want = _xla_ref(x, s, r, mask, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+    # bf16 path through the same ring
+    got16 = np.asarray(
+        bcsr_spmm(jnp.asarray(x).astype(jnp.bfloat16), bc).astype(
+            jnp.float32
+        )
+    )
+    np.testing.assert_allclose(got16, want, rtol=3e-2, atol=3e-1)
