@@ -116,12 +116,29 @@ class TensorProductConv(nn.Module):
             mul1, l1 = self.irreps1.items[i1]
             _, l2 = self.irreps2.items[i2]
             _, l3 = self.irreps_mid.items[io]
-            C = jnp.asarray(coupling(l1, l2, l3), x.dtype)
+            C = np.asarray(coupling(l1, l2, l3))  # [a, b, c] host constant
             w = weights[..., w_off : w_off + mul1]
             w_off += mul1
             # y has mul 1 (sh) or scalars; take channel 0 per irrep2 slot
             yp = ys[i2][..., 0, :]  # [..., 2l2+1]
-            out = jnp.einsum("abc,...ua,...b,...u->...uc", C, xs[i1], yp, w)
+            # decomposed contraction (round 5: the 4-operand einsum made
+            # XLA materialize [E, u, a, b]-sized intermediates): the tiny
+            # per-edge yc[.., a, c] = y @ C first, then an unrolled sum of
+            # rank-1 broadcasts over a (<= 2l1+1 terms, CG-sparsity
+            # skipped). An a-outer 2-D relayout variant measured slightly
+            # WORSE (168.6 vs 162.6 ms at the CI shape) — XLA already
+            # fuses this chain acceptably.
+            na, nc = C.shape[0], C.shape[2]
+            Cb = jnp.asarray(
+                C.transpose(1, 0, 2).reshape(C.shape[1], -1), x.dtype
+            )  # [b, a*c]
+            yc = (yp @ Cb).reshape(yp.shape[:-1] + (na, nc))  # [..., a, c]
+            xw = xs[i1] * w[..., None]  # [..., u, a]
+            out = sum(
+                xw[..., a][..., None] * yc[..., a, None, :]
+                for a in range(na)
+                if np.any(C[a])
+            )  # [..., u, c]
             outs.append(out)
         return merge_flat(outs)
 
