@@ -482,9 +482,43 @@ def _fwd(msgs, receivers, num_nodes, max_run):
     return out, (msgs, receivers, mx, mn)
 
 
+def _tie_split_cotangents(msgs, receivers, num_nodes, gmx, gmn, mx, mn):
+    """Divide the max/min cotangents by the per-segment TIE counts.
+
+    Duplicate edges (same sender->receiver pair — common in padded
+    synthetic batches, possible with PBC images) produce identical
+    message values; routing the full cotangent to every tied edge
+    overcounts (NOT a valid subgradient: a joint perturbation of all
+    tied edges moves the max once but would receive k x the gradient).
+    jax.ops.segment_max splits equally among ties — match it. One extra
+    segment-sum pass over the [E, 2F] tie indicators (Pallas CSR when
+    2F is a lane multiple)."""
+    valid = (receivers >= 0) & (receivers < num_nodes)
+    ids = jnp.clip(receivers, 0, num_nodes - 1)
+    vm = valid[:, None]
+    # both indicators packed in ONE fp32 array (counts < 2^16 each, sums
+    # exact below 2^24) — one segment pass instead of an [E, 2F] concat
+    ind = (
+        ((msgs == mx[ids]) & vm).astype(jnp.float32)
+        + 65536.0 * ((msgs == mn[ids]) & vm).astype(jnp.float32)
+    )
+    from hydragnn_tpu.ops.pallas_segment import segment_sum_auto
+
+    cnts = segment_sum_auto(
+        ind, receivers, num_nodes, indices_are_sorted=True
+    )
+    cmn = jnp.floor(cnts / 65536.0)
+    cmx = jnp.maximum(cnts - 65536.0 * cmn, 1.0)
+    cmn = jnp.maximum(cmn, 1.0)
+    return (gmx / cmx).astype(gmx.dtype), (gmn / cmn).astype(gmn.dtype)
+
+
 def _bwd(num_nodes, res, g):
     msgs, receivers, mx, mn = res
     gs, gss, gmx, gmn = g
+    gmx, gmn = _tie_split_cotangents(
+        msgs, receivers, num_nodes, gmx, gmn, mx, mn
+    )
     if jax.default_backend() not in ("cpu", "gpu"):
         return (
             _multiagg_bwd_impl(

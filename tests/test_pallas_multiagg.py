@@ -203,3 +203,33 @@ def test_pna_aggregate_wrapper_fused_vs_unfused(monkeypatch):
     )
     for g, w in zip(got_u, ref):
         np.testing.assert_allclose(np.asarray(g), w, rtol=1e-5, atol=1e-4)
+
+
+def test_multiagg_tie_gradients_split_like_jax(monkeypatch):
+    """Duplicate edges produce identical message values (ties): the
+    max/min cotangent must SPLIT equally among tied edges like
+    jax.ops.segment_max (route-to-all overcounts — caught by a 15% model-
+    level gradient divergence in round 5)."""
+    rng = np.random.RandomState(7)
+    N, E, F = 64, 4608, 128
+    recv = np.sort(rng.randint(0, N, E)).astype(np.int32)
+    base = rng.randn(E, F).astype(np.float32)
+    # duplicate every third edge's value within its segment
+    base[1::3] = base[0::3][: base[1::3].shape[0]]
+    wts = rng.randn(2, N, F).astype(np.float32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+
+    def fused(m):
+        _, _, mx, mn = pm.segment_multiagg(m, jnp.asarray(recv), N,
+                                           jnp.int32(E))
+        return jnp.sum(wts[0] * mx + wts[1] * mn)
+
+    def unfused(m):
+        mx = seg.segment_max(m, jnp.asarray(recv), N)
+        mn = seg.segment_min(m, jnp.asarray(recv), N)
+        return jnp.sum(wts[0] * mx + wts[1] * mn)
+
+    gf = jax.grad(fused)(jnp.asarray(base))
+    gu = jax.grad(unfused)(jnp.asarray(base))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gu),
+                               rtol=1e-4, atol=1e-4)
